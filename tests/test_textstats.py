@@ -1,0 +1,136 @@
+"""Text-analysis kernel tests: lang-id, quality, fingerprint, minhash, simhash."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from deepseek_ocr_2_spark.functions.textstats import (
+    detect_language,
+    fingerprint,
+    hamming64,
+    jaccard,
+    minhash_bands,
+    minhash_signature,
+    quality_score,
+    rolling_hashes,
+    shingles,
+    simhash,
+    tokenize,
+    winnow,
+)
+
+
+class TestLangId:
+    def test_english(self):
+        assert detect_language("the cat sat on the mat and it is warm") == "en"
+
+    def test_german(self):
+        assert detect_language("der Hund ist nicht mit der Katze und das Haus") == "de"
+
+    def test_chinese(self):
+        assert detect_language("这是一个中文文档，包含足够的汉字内容。") == "zh"
+
+    def test_unknown(self):
+        assert detect_language("") == "und"
+        assert detect_language("zzz qqq xxx") == "und"
+
+
+class TestQuality:
+    def test_empty(self):
+        assert quality_score("") == 0.0
+
+    def test_bounded(self):
+        for t in ["short", "a" * 1000, "!!! ??? ...", "normal sentence here."]:
+            assert 0.0 <= quality_score(t) <= 1.0
+
+    def test_long_clean_beats_punct_soup(self):
+        clean = "A perfectly ordinary sentence with words. " * 20
+        soup = '.,;:!?"\'()[]{}' * 60
+        assert quality_score(clean) > quality_score(soup)
+
+
+class TestFingerprint:
+    def test_whitespace_invariant(self):
+        assert fingerprint("a  b\tc") == fingerprint("A b C ")
+
+    def test_differs(self):
+        assert fingerprint("doc one") != fingerprint("doc two")
+
+
+class TestRollingHash:
+    def test_shift_invariance(self):
+        # the same window content yields the same hash at any position
+        h1 = rolling_hashes("XXabcdefgh", window=4)
+        h2 = rolling_hashes("YYabcdefgh", window=4)
+        assert h1[2:] == h2[2:]
+
+    def test_short_doc(self):
+        assert rolling_hashes("ab", window=4) == []
+
+    def test_winnow_subset(self):
+        hs = rolling_hashes("the quick brown fox jumps over the lazy dog" * 3, window=8)
+        fp = winnow(hs, w=4)
+        assert fp and set(fp) <= set(hs)
+
+
+class TestMinHash:
+    def test_identical_docs_identical_sig(self):
+        t = tokenize("the quick brown fox jumps over the lazy dog")
+        assert minhash_signature(t) == minhash_signature(list(t))
+
+    def test_similar_docs_share_most_mins(self):
+        a = tokenize("the quick brown fox jumps over the lazy dog " * 5)
+        b = tokenize("the quick brown fox jumps over the lazy cat " * 5)
+        sa, sb = minhash_signature(a), minhash_signature(b)
+        agree = sum(1 for x, y in zip(sa, sb) if x == y) / len(sa)
+        assert agree > 0.3
+
+    def test_disjoint_docs_rarely_agree(self):
+        a = tokenize("alpha beta gamma delta epsilon zeta eta theta " * 3)
+        b = tokenize("one two three four five six seven eight nine ten " * 3)
+        sa, sb = minhash_signature(a), minhash_signature(b)
+        agree = sum(1 for x, y in zip(sa, sb) if x == y) / len(sa)
+        assert agree < 0.1
+
+    def test_band_keys(self):
+        sig = minhash_signature(tokenize("some document text here"))
+        keys = minhash_bands(sig, bands=16)
+        assert len(keys) == 16
+        assert all(k.split(":")[0] == str(i) for i, k in enumerate(keys))
+
+    def test_empty_doc_sentinel(self):
+        sig = minhash_signature([])
+        assert len(set(sig)) == 1
+
+
+class TestSimHash:
+    def test_similar_docs_close(self):
+        a = simhash(tokenize("the quick brown fox jumps over the lazy dog " * 5))
+        b = simhash(tokenize("the quick brown fox jumps over the lazy cat " * 5))
+        c = simhash(tokenize("completely different content about spark engines " * 5))
+        assert hamming64(a, b) < hamming64(a, c)
+
+    def test_empty(self):
+        assert simhash([]) == 0
+
+    @given(st.text(max_size=200))
+    @settings(max_examples=100, deadline=None)
+    def test_property_64bit(self, text):
+        h = simhash(tokenize(text))
+        assert 0 <= h < (1 << 64)
+
+
+class TestJaccard:
+    def test_basics(self):
+        assert jaccard(["a", "b"], ["a", "b"]) == 1.0
+        assert jaccard(["a"], ["b"]) == 0.0
+        assert jaccard([], []) == 1.0
+        assert jaccard(["a", "b", "c"], ["b", "c", "d"]) == 0.5
+
+
+class TestShingles:
+    def test_k3(self):
+        assert shingles(["a", "b", "c", "d"], k=3) == ["a b c", "b c d"]
+
+    def test_short(self):
+        assert shingles(["a"], k=3) == ["a"]
+        assert shingles([], k=3) == []
