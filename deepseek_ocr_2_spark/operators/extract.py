@@ -1,0 +1,306 @@
+"""The extraction operator: pages table -> (url, extracted_text, spans, lang).
+
+Spark lifecycle (SURVEY §3, one stage per boundary)::
+
+    read input table
+      -> (narrow) host/payload-type columns, JVM-side
+      -> repartition(url-hash bucket, salted for giant hosts)   [only wide op]
+      -> mapInPandas(extract_kernel)                            [Arrow batches]
+      -> output DataFrame (url, extracted_text, spans, lang, ...)
+
+Routing happens *inside* one vectorized kernel (north-star: "a single
+vectorized pandas/Arrow UDF stage"): HTML payloads go through the
+DOM/text-density extractor (``functions/htmlmain.py``), PDF payloads
+through cost-packed micro-batched decode (``operators/decode.py``) plus
+the byte-exact postprocess kernel (``functions/assemble.py``, parity
+with ``deepseek_ocr2_api/processors/postprocess.py``).
+
+Scale notes (designed for ~100 TB / 10^12 docs, tested on local[32]):
+
+* Partitioning is by ``xxhash64(host) % num_buckets`` so one host's
+  pages stay together (connection/cache locality on real fetch-adjacent
+  workloads) — EXCEPT hosts above ``hot_host_threshold`` docs, which are
+  salted per-url (``xxhash64(url)``) so a giant host fans out across the
+  cluster instead of pinning one executor (north-rule skew mitigation).
+  Hot-host detection is a host-level count — a tiny aggregate with
+  map-side partial aggregation over a pruned (url-only) projection —
+  broadcast back, never a row-level shuffle of payload bytes beyond the
+  single repartition.
+* Pages of one document never split across partitions (they live in one
+  payload blob), so per-url output is independent of partitioning —
+  byte-identical at local[8] and local[32] and on any real cluster.
+* The incomplete-page filter (reference F2, ``routers/ocr.py:332-335``)
+  drops pages whose raw output lacks the EOS marker; dropped pages are
+  counted per-document (``failed_pages``) and rolled into the metrics
+  table by ``plans/pipeline.py``.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.assemble import PAGE_SEPARATOR, process_page
+from ..functions.htmlmain import extract_main_content
+from ..functions.refparse import has_eos
+from .decode import (
+    DEFAULT_MAX_BATCH_VISUAL_TOKENS,
+    DecodeBatchFn,
+    PageTask,
+    decode_pages,
+    parse_pdf_payload,
+    stub_decode_batch,
+)
+
+PDF_MAGIC = b"%PDF-STUB1\n"
+
+SPAN_STRUCT = StructType(
+    [
+        StructField("id", IntegerType(), False),
+        StructField("page_index", IntegerType(), False),
+        StructField("type", StringType(), True),
+        StructField("bbox_normalized", ArrayType(IntegerType()), True),
+        StructField("bbox_pixels", ArrayType(IntegerType()), True),
+        StructField("text", StringType(), True),
+    ]
+)
+
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("extracted_text", StringType(), True),
+        StructField("spans", ArrayType(SPAN_STRUCT), True),
+        StructField("lang", StringType(), True),
+        StructField("payload_type", StringType(), False),
+        StructField("total_pages", IntegerType(), False),
+        StructField("failed_pages", IntegerType(), False),
+        StructField("est_visual_tokens", LongType(), False),
+        StructField("ok", BooleanType(), False),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+@dataclass
+class ExtractConfig:
+    """Job-level knobs, broadcast to executors by closure capture."""
+
+    num_buckets: int = 256
+    hot_host_threshold: int = 20
+    max_batch_visual_tokens: int = DEFAULT_MAX_BATCH_VISUAL_TOKENS
+    skip_incomplete_pages: bool = True  # reference skip_repeat default
+    page_separator: str = PAGE_SEPARATOR
+    decode_batch: DecodeBatchFn = field(default=stub_decode_batch)
+
+
+def _extract_html_row(url: str, payload: bytes, lang: Optional[str]) -> dict:
+    text, span_dicts = extract_main_content(payload)
+    spans = [
+        {
+            "id": s["id"],
+            "page_index": 0,
+            "type": s["type"],
+            "bbox_normalized": s["bbox_normalized"],
+            "bbox_pixels": s["bbox_pixels"],
+            "text": s["text"],
+        }
+        for s in span_dicts
+    ]
+    return {
+        "url": url,
+        "extracted_text": text,
+        "spans": spans,
+        "lang": lang,
+        "payload_type": "html",
+        "total_pages": 1,
+        "failed_pages": 0,
+        "est_visual_tokens": 0,
+        "ok": True,
+        "error": None,
+    }
+
+
+def _extract_pdf_rows(
+    rows: List[tuple], cfg: ExtractConfig
+) -> List[dict]:
+    """Decode + postprocess a batch of PDF docs; one output row per doc.
+
+    All pages of every doc in the batch are flattened into one task list
+    and cost-packed together, so decode batches stay full even when docs
+    are short — the Spark analog of vLLM continuous batching across
+    requests (``engine/inference.py:390-414``).
+    """
+    tasks: List[PageTask] = []
+    doc_meta = {}
+    for url, payload, lang in rows:
+        try:
+            pages = parse_pdf_payload(payload)
+        except (ValueError, json.JSONDecodeError, KeyError, TypeError) as exc:
+            doc_meta[url] = {"lang": lang, "pages": [], "error": str(exc)}
+            continue
+        doc_meta[url] = {"lang": lang, "pages": [], "error": None}
+        for p in pages:
+            tasks.append(
+                PageTask(
+                    url=url,
+                    page_index=p.page_index,
+                    width=p.width,
+                    height=p.height,
+                    payload=p.payload,
+                )
+            )
+
+    decoded = decode_pages(tasks, cfg.decode_batch, cfg.max_batch_visual_tokens)
+    for task, raw in decoded:
+        doc_meta[task.url]["pages"].append((task, raw))
+
+    out = []
+    for url, payload, lang in rows:
+        meta = doc_meta[url]
+        if meta["error"] is not None:
+            out.append(
+                {
+                    "url": url,
+                    "extracted_text": None,
+                    "spans": [],
+                    "lang": lang,
+                    "payload_type": "pdf",
+                    "total_pages": 0,
+                    "failed_pages": 0,
+                    "est_visual_tokens": 0,
+                    "ok": False,
+                    "error": f"payload_parse: {meta['error']}",
+                }
+            )
+            continue
+        pages = sorted(meta["pages"], key=lambda tr: tr[0].page_index)
+        markdowns: List[str] = []
+        spans: List[dict] = []
+        failed = 0
+        est_tokens = 0
+        for task, raw in pages:
+            est_tokens += task.est_visual_tokens
+            # Reference F2: a page without the EOS marker hit max_tokens
+            # and is dropped when skip_repeat is on.
+            if cfg.skip_incomplete_pages and not has_eos(raw):
+                failed += 1
+                continue
+            md, elements = process_page(raw, task.width, task.height, task.page_index)
+            markdowns.append(md)
+            for e in elements:
+                spans.append(
+                    {
+                        "id": e["id"],
+                        "page_index": task.page_index,
+                        "type": e["type"],
+                        "bbox_normalized": [int(v) for v in e["bbox_normalized"]],
+                        "bbox_pixels": [int(v) for v in e["bbox_pixels"]],
+                        "text": e["text"],
+                    }
+                )
+        ok = bool(markdowns) or not pages
+        out.append(
+            {
+                "url": url,
+                "extracted_text": cfg.page_separator.join(markdowns) if ok else None,
+                "spans": spans,
+                "lang": lang,
+                "payload_type": "pdf",
+                "total_pages": len(pages),
+                "failed_pages": failed,
+                "est_visual_tokens": est_tokens,
+                "ok": ok,
+                "error": None if ok else "no_complete_pages",
+            }
+        )
+    return out
+
+
+def make_extract_kernel(cfg: ExtractConfig):
+    """Build the mapInPandas kernel (picklable closure over the config)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            results: List[dict] = []
+            pdf_rows: List[tuple] = []
+            for url, payload, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
+                payload = bytes(payload)
+                if payload.startswith(PDF_MAGIC):
+                    pdf_rows.append((url, payload, lang))
+                else:
+                    results.append(_extract_html_row(url, payload, lang))
+            if pdf_rows:
+                results.extend(_extract_pdf_rows(pdf_rows, cfg))
+            if results:
+                yield pd.DataFrame(results)
+
+    return kernel
+
+
+def with_partition_key(
+    df: DataFrame, cfg: ExtractConfig, hot_hosts: Optional[DataFrame] = None
+) -> DataFrame:
+    """Attach ``host`` + salted ``bucket`` columns (all JVM-side).
+
+    ``hot_hosts``: optional precomputed single-column (host) DataFrame;
+    when None it is derived from ``df`` itself via a pruned count.
+    """
+    df = df.withColumn(
+        "host", F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)/", 1)
+    )
+    if hot_hosts is None:
+        hot_hosts = (
+            df.groupBy("host")
+            .agg(F.count(F.lit(1)).alias("host_docs"))
+            .filter(F.col("host_docs") > cfg.hot_host_threshold)
+            .select("host")
+        )
+    hot = hot_hosts.withColumn("is_hot", F.lit(True))
+    df = df.join(F.broadcast(hot), "host", "left")
+    key = F.when(
+        F.col("is_hot").isNotNull(), F.xxhash64(F.col("url"))
+    ).otherwise(F.xxhash64(F.col("host")))
+    return df.withColumn(
+        "bucket", F.pmod(key, F.lit(cfg.num_buckets)).cast("int")
+    ).drop("is_hot")
+
+
+def extract_pages(
+    df: DataFrame,
+    cfg: Optional[ExtractConfig] = None,
+    repartition: bool = True,
+) -> DataFrame:
+    """pages table -> extraction results (north-star output schema + QA cols).
+
+    ``df`` must have columns (url, html, lang); extra columns are pruned
+    before the kernel so the Arrow transfer only ships what the kernel
+    reads.
+    """
+    cfg = cfg or ExtractConfig()
+    keyed = with_partition_key(df, cfg)
+    narrow = keyed.select("url", "html", "lang", "bucket")
+    if repartition:
+        shuffle_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        narrow = narrow.repartition(
+            min(cfg.num_buckets, shuffle_parts), "bucket"
+        )
+    return narrow.drop("bucket").mapInPandas(
+        make_extract_kernel(cfg), schema=EXTRACT_SCHEMA
+    )

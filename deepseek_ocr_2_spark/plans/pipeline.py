@@ -1,0 +1,160 @@
+"""End-to-end extraction job: snapshot commits, lineage, resume.
+
+The reference persists a mutable task index (whole-JSON rewrite per
+state change, ``deepseek_ocr2_api/task_manager.py:642-660``) and marks
+interrupted tasks failed on reload (``:662-690``).  The Spark rebuild
+replaces that with *immutable snapshot commits*, Iceberg-style (the
+sandbox Spark has no Iceberg catalog jar, so the same semantics are
+implemented as parquet snapshot directories + an atomically-renamed
+manifest — SURVEY §7 step 5 fallback; the interface is storage-agnostic
+so an Iceberg table slots in where the manifest is today):
+
+* each run writes ``<out>/data/snapshot=<id>/`` (results) and
+  ``<out>/metrics/snapshot=<id>/`` (per-partition lineage rows:
+  input snapshot id, partition id, bucket doc/failure counts), then
+  appends the snapshot id to ``<out>/MANIFEST.json`` via
+  write-temp + ``os.replace`` (atomic on POSIX);
+* a crashed run never appears in the manifest, so its partial files are
+  invisible — exactly Iceberg's uncommitted-snapshot behavior;
+* resume = anti-join the input against urls already committed
+  (``committed_urls``), the north-rule checkpoint semantics.  The
+  anti-join is a broadcast when the committed set is small, else a
+  shuffle join — left to AQE.
+
+Lineage (north rule: "per-partition lineage rows: input snapshot id,
+partition id, doc count, extraction-failure count") is captured *inside*
+the kernel stage via ``spark_partition_id()`` so it reflects the real
+physical partitioning of the inference stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import ExtractConfig, extract_pages
+
+MANIFEST_NAME = "MANIFEST.json"
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: str
+    committed_at: str
+    doc_count: int
+    failure_count: int
+
+
+def _manifest_path(output_dir: str) -> str:
+    return os.path.join(output_dir, MANIFEST_NAME)
+
+
+def read_manifest(output_dir: str) -> List[dict]:
+    path = _manifest_path(output_dir)
+    if not os.path.exists(path):
+        return []
+    with open(path, "r", encoding="utf-8") as f:
+        return json.load(f)["snapshots"]
+
+
+def _commit_manifest(output_dir: str, snapshots: List[dict]) -> None:
+    path = _manifest_path(output_dir)
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"snapshots": snapshots}, f, indent=2)
+    os.replace(tmp, path)  # atomic commit point
+
+
+def committed_data_paths(output_dir: str) -> List[str]:
+    return [
+        os.path.join(output_dir, "data", f"snapshot={s['snapshot_id']}")
+        for s in read_manifest(output_dir)
+    ]
+
+
+def committed_results(spark: SparkSession, output_dir: str) -> Optional[DataFrame]:
+    paths = committed_data_paths(output_dir)
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
+def committed_urls(spark: SparkSession, output_dir: str) -> Optional[DataFrame]:
+    df = committed_results(spark, output_dir)
+    return None if df is None else df.select("url")
+
+
+def run_extraction(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_dir: str,
+    cfg: Optional[ExtractConfig] = None,
+    input_snapshot_id: str = "input-0",
+    resume: bool = True,
+) -> Snapshot:
+    """One committed extraction run over ``pages``; returns the snapshot.
+
+    Idempotent under crash/retry: re-running after a failure re-extracts
+    only urls not in a *committed* snapshot.
+    """
+    cfg = cfg or ExtractConfig()
+    os.makedirs(output_dir, exist_ok=True)
+
+    if resume:
+        done = committed_urls(spark, output_dir)
+        if done is not None:
+            pages = pages.join(done, "url", "left_anti")
+
+    snapshot_id = uuid.uuid4().hex[:12]
+    results = extract_pages(pages, cfg).withColumn(
+        "partition_id", F.spark_partition_id()
+    )
+
+    data_path = os.path.join(output_dir, "data", f"snapshot={snapshot_id}")
+    results.write.mode("overwrite").parquet(data_path)
+
+    # Lineage/metrics from the *written* snapshot (single source of truth;
+    # no recompute of the kernel stage).
+    written = spark.read.parquet(data_path)
+    metrics = (
+        written.groupBy("partition_id")
+        .agg(
+            F.lit(input_snapshot_id).alias("input_snapshot_id"),
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias(
+                "extraction_failure_count"
+            ),
+            F.sum("failed_pages").alias("failed_page_count"),
+            F.sum("total_pages").alias("page_count"),
+            F.sum("est_visual_tokens").alias("est_visual_tokens"),
+        )
+        .withColumn("snapshot_id", F.lit(snapshot_id))
+    )
+    metrics_path = os.path.join(output_dir, "metrics", f"snapshot={snapshot_id}")
+    metrics.write.mode("overwrite").parquet(metrics_path)
+
+    totals = (
+        spark.read.parquet(metrics_path)
+        .agg(
+            F.sum("doc_count").alias("docs"),
+            F.sum("extraction_failure_count").alias("failures"),
+        )
+        .collect()[0]
+    )
+    snap = Snapshot(
+        snapshot_id=snapshot_id,
+        committed_at=time.strftime("%Y-%m-%dT%H:%M:%S"),
+        doc_count=int(totals["docs"] or 0),
+        failure_count=int(totals["failures"] or 0),
+    )
+    snapshots = read_manifest(output_dir)
+    snapshots.append(snap.__dict__)
+    _commit_manifest(output_dir, snapshots)
+    return snap

@@ -1,0 +1,272 @@
+"""Deterministic Common-Crawl-style corpus builder.
+
+The north-rule input table is ``(url string, warc_ts timestamp,
+html binary, text string, lang string)`` (``BASELINE.json`` input_hint).
+No such table ships with the sandbox, so this module synthesizes one —
+deterministically, row-by-row from the driver's ``documents`` parquet
+(``/root/testdata/sf*/documents.parquet``), entirely inside Spark
+(vectorized ``mapInPandas``; no driver-side loops, no RNG: every value
+is a pure function of ``doc_id`` and the document text), so the same
+generator runs unchanged at any scale factor or cluster size.
+
+Payload mix (all derived from ``doc_id``):
+
+* ~3/4 of rows carry an HTML payload: the document text wrapped in a
+  boilerplate-rich page template (nav / sidebar / ads / footer / inline
+  links) so the main-content extractor has real work to do.
+* ~1/4 carry a PDF-style payload: a ``%PDF-STUB1`` header followed by a
+  JSON body of per-page ``(width, height, raw_output)`` where
+  ``raw_output`` is a synthetic DeepSeek-OCR-2 model output string
+  (ref/det grounding tags, image refs, EOS marker) built from the
+  document text.  The deterministic decode stub
+  (``operators/decode.py``) "decodes" these payloads; a real vLLM
+  decode path sees actual page bytes in the same position.
+* a small slice of PDF pages deliberately *lack* the EOS marker, so the
+  incomplete-page filter (reference F2 / skip_repeat) and the failure
+  counters are exercised end to end.
+
+Skew realism (SURVEY §7): a deterministic subset of rows lands on one
+giant host (``big.example-news.com``) so host-level partitioning is
+skewed and the salt path in ``operators/extract.py`` actually fires.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, List, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..functions.refparse import EOS_TOKEN
+
+PDF_MAGIC = b"%PDF-STUB1\n"
+
+# doc_id % PDF_MOD < PDF_HITS -> PDF payload; else HTML.
+PDF_MOD = 4
+PDF_HITS = 1
+
+# doc_id % EOS_FAIL_MOD == 0 (among PDF docs) -> last page lacks EOS.
+EOS_FAIL_MOD = 10
+
+# doc_id % HOT_MOD < HOT_HITS -> giant host (skew).
+HOT_MOD = 10
+HOT_HITS = 3
+HOT_HOST = "big.example-news.com"
+N_SMALL_HOSTS = 97
+
+CORPUS_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("html", BinaryType(), False),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("doc_id", LongType(), False),
+    ]
+)
+
+_WARC_EPOCH_S = 1_700_000_000  # fixed; warc_ts = epoch + doc_id seconds
+
+
+def host_for(doc_id: int) -> str:
+    if doc_id % HOT_MOD < HOT_HITS:
+        return HOT_HOST
+    return f"site{doc_id % N_SMALL_HOSTS}.example.org"
+
+
+def url_for(doc_id: int) -> str:
+    return f"https://{host_for(doc_id)}/articles/{doc_id}.html"
+
+
+def is_pdf_doc(doc_id: int) -> bool:
+    return doc_id % PDF_MOD < PDF_HITS
+
+
+def _paragraphs(text: str, target_len: int = 400) -> List[str]:
+    """Deterministic paragraph split: fixed-size word runs."""
+    words = text.split()
+    if not words:
+        return [""]
+    paras: List[str] = []
+    cur: List[str] = []
+    n = 0
+    for w in words:
+        cur.append(w)
+        n += len(w) + 1
+        if n >= target_len:
+            paras.append(" ".join(cur))
+            cur, n = [], 0
+    if cur:
+        paras.append(" ".join(cur))
+    return paras
+
+
+def render_html(doc_id: int, text: str, lang: str) -> bytes:
+    """Boilerplate-rich page with the document text as main content.
+
+    Every structural choice is a pure function of ``doc_id`` so the
+    expected extraction output is reproducible from the row alone.
+    """
+    paras = _paragraphs(text)
+    body_parts: List[str] = []
+    for i, p in enumerate(paras):
+        if i == 1 and len(paras) > 2 and doc_id % 3 == 0:
+            # Inline link inside real content: must survive extraction
+            # (link density stays low for a long paragraph).
+            words = p.split()
+            mid = len(words) // 2
+            p = (
+                " ".join(words[:mid])
+                + f' <a href="/ref/{doc_id}">source {doc_id}</a> '
+                + " ".join(words[mid:])
+            )
+        body_parts.append(f"<p>{p}</p>")
+    article = "\n".join(body_parts)
+    nav_items = "".join(
+        f'<li><a href="/cat/{k}">Category {k}</a></li>' for k in range(6)
+    )
+    related = "".join(
+        f'<li><a href="/a/{doc_id + k}">Related story {doc_id + k}</a></li>'
+        for k in range(1, 5)
+    )
+    page = f"""<!DOCTYPE html>
+<html lang="{lang}"><head><title>Article {doc_id}</title>
+<script>var trk={doc_id};track(trk);</script>
+<style>.main {{ color: #222 }}</style></head>
+<body>
+<nav class="top-nav"><ul>{nav_items}</ul></nav>
+<div class="ads banner">Buy now! Limited offer {doc_id % 50}% off!</div>
+<article class="main">
+<h1>Article {doc_id}</h1>
+{article}
+</article>
+<aside class="sidebar related"><ul>{related}</ul></aside>
+<footer class="footer">© example.org · <a href="/tos">Terms</a> ·
+<a href="/privacy">Privacy</a></footer>
+</body></html>"""
+    return page.encode("utf-8")
+
+
+def page_dims(doc_id: int, page_index: int) -> Tuple[int, int]:
+    """Deterministic page size; mixes the <=768 no-crop and tiled regimes."""
+    k = (doc_id * 7 + page_index * 13) % 5
+    return [
+        (640, 760),    # no-crop regime
+        (1275, 1650),  # US-letter-ish @150dpi
+        (1240, 1754),  # A4 @150dpi
+        (2480, 1748),  # landscape A5 scan, wide
+        (900, 2400),   # long receipt-style page
+    ][k]
+
+
+def render_raw_output(
+    doc_id: int, page_index: int, page_paras: List[str], with_eos: bool
+) -> str:
+    """Synthetic DeepSeek-OCR-2 model output for one page.
+
+    Shape mirrors real outputs: a title ref, grounded text refs with
+    trailing content, an image ref with no content, the EOS marker.
+    """
+    parts: List[str] = [
+        f"<|ref|>title<|/ref|><|det|>[[120, 30, 880, 80]]<|/det|>"
+        f"# Document {doc_id} · page {page_index}\n\n"
+    ]
+    y = 100
+    for i, p in enumerate(page_paras):
+        y2 = min(990, y + 150)
+        parts.append(
+            f"<|ref|>text<|/ref|><|det|>[[100, {y}, 900, {y2}]]<|/det|>{p}\n\n"
+        )
+        y = y2 + 20
+        if i == 0 and doc_id % 5 == 0:
+            y2 = min(990, y + 120)
+            parts.append(
+                f"<|ref|>image<|/ref|><|det|>[[150, {y}, 850, {y2}]]<|/det|>"
+            )
+            y = y2 + 20
+    raw = "".join(parts)
+    if with_eos:
+        raw += EOS_TOKEN
+    return raw
+
+
+def render_pdf_payload(doc_id: int, text: str) -> bytes:
+    """PDF-style payload: magic header + JSON pages for the decode stub."""
+    paras = _paragraphs(text)
+    per_page = 3
+    page_chunks = [paras[i : i + per_page] for i in range(0, len(paras), per_page)]
+    if not page_chunks:
+        page_chunks = [[""]]
+    pages = []
+    for pidx, chunk in enumerate(page_chunks):
+        w, h = page_dims(doc_id, pidx)
+        last = pidx == len(page_chunks) - 1
+        with_eos = not (last and doc_id % EOS_FAIL_MOD == 0)
+        pages.append(
+            {
+                "width": w,
+                "height": h,
+                "raw_output": render_raw_output(doc_id, pidx, chunk, with_eos),
+            }
+        )
+    return PDF_MAGIC + json.dumps({"doc_id": doc_id, "pages": pages}).encode("utf-8")
+
+
+def _build_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {
+            "url": [],
+            "warc_ts": [],
+            "html": [],
+            "text": [],
+            "lang": [],
+            "doc_id": [],
+        }
+        for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+            doc_id = int(doc_id)
+            text = text or ""
+            if is_pdf_doc(doc_id):
+                payload = render_pdf_payload(doc_id, text)
+            else:
+                payload = render_html(doc_id, text, lang)
+            out["url"].append(url_for(doc_id))
+            out["warc_ts"].append(
+                pd.Timestamp(_WARC_EPOCH_S + doc_id, unit="s")
+            )
+            out["html"].append(payload)
+            out["text"].append(text)
+            out["lang"].append(lang)
+            out["doc_id"].append(doc_id)
+        yield pd.DataFrame(out)
+
+
+def build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet -> Common-Crawl-style pages table.
+
+    Column pruning note: only ``doc_id, text, lang`` are read from the
+    parquet; the generator is a single narrow ``mapInPandas`` stage, so
+    corpus construction scales linearly with input splits.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    return docs.mapInPandas(_build_rows, schema=CORPUS_SCHEMA)
+
+
+def payload_type_col() -> F.Column:
+    """'pdf' | 'html' from the binary payload magic, JVM-side (no UDF)."""
+    return F.when(
+        F.substring(F.col("html"), 1, len(PDF_MAGIC)) == F.lit(PDF_MAGIC),
+        F.lit("pdf"),
+    ).otherwise(F.lit("html"))

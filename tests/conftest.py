@@ -1,0 +1,26 @@
+"""Shared fixtures: one local SparkSession per test run."""
+
+from __future__ import annotations
+
+import pytest
+
+SF_TINY = "/root/testdata/sf0.001"
+SF_SMALL = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("deepseek-ocr-2-spark-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+    spark.stop()

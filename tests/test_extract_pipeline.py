@@ -1,0 +1,152 @@
+"""End-to-end extraction: byte identity vs the pure kernel, partition
+independence, failure accounting, skew bucketing."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from deepseek_ocr_2_spark.functions.assemble import PAGE_SEPARATOR, process_page
+from deepseek_ocr_2_spark.functions.htmlmain import extract_main_content
+from deepseek_ocr_2_spark.functions.refparse import has_eos
+from deepseek_ocr_2_spark.operators.extract import ExtractConfig, extract_pages
+from deepseek_ocr_2_spark.operators.decode import (
+    PageTask,
+    pack_micro_batches,
+    parse_pdf_payload,
+)
+from deepseek_ocr_2_spark.sources import corpus as C
+
+from .conftest import SF_TINY
+
+
+def kernel_golden(payload: bytes) -> str | None:
+    """Single-process reference computation of extracted_text for a row."""
+    if payload.startswith(C.PDF_MAGIC):
+        doc = json.loads(payload[len(C.PDF_MAGIC):])
+        mds = []
+        for i, p in enumerate(doc["pages"]):
+            if not has_eos(p["raw_output"]):
+                continue
+            md, _ = process_page(p["raw_output"], p["width"], p["height"], i)
+            mds.append(md)
+        return PAGE_SEPARATOR.join(mds) if mds else None
+    return extract_main_content(payload)[0]
+
+
+@pytest.fixture(scope="module")
+def corpus_rows(spark):
+    return {
+        r.url: bytes(r.html)
+        for r in C.build_corpus(spark, SF_TINY).collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    df = C.build_corpus(spark, SF_TINY)
+    res = extract_pages(df, ExtractConfig(num_buckets=16, hot_host_threshold=5))
+    return {r.url: r for r in res.collect()}
+
+
+def test_every_url_byte_identical_to_kernel(corpus_rows, extracted):
+    assert set(corpus_rows) == set(extracted)
+    for url, payload in corpus_rows.items():
+        golden = kernel_golden(payload)
+        got = extracted[url].extracted_text
+        assert got == golden, f"byte mismatch for {url}"
+
+
+def test_partition_independence(spark, extracted):
+    """Same per-url output under a different bucketing/parallelism."""
+    df = C.build_corpus(spark, SF_TINY).repartition(13)
+    res = extract_pages(
+        df, ExtractConfig(num_buckets=3, hot_host_threshold=2), repartition=True
+    )
+    other = {r.url: r for r in res.collect()}
+    assert set(other) == set(extracted)
+    for url, row in extracted.items():
+        assert other[url].extracted_text == row.extracted_text
+        assert [tuple(s) for s in other[url].spans] == [
+            tuple(s) for s in row.spans
+        ]
+
+
+def test_failure_accounting(extracted, corpus_rows):
+    """Docs whose every page lacks EOS are failed + counted, not dropped."""
+    failed = [r for r in extracted.values() if not r.ok]
+    assert failed, "fixture corpus must exercise the failure path"
+    for r in failed:
+        assert r.error == "no_complete_pages"
+        assert r.extracted_text is None
+        assert r.failed_pages == r.total_pages > 0
+    # multi-page docs with one bad page keep the good pages
+    partial = [
+        r for r in extracted.values() if r.ok and r.failed_pages > 0
+    ]
+    for r in partial:
+        assert r.total_pages > r.failed_pages
+        assert PAGE_SEPARATOR not in ("", None)
+
+
+def test_spans_match_kernel_elements(corpus_rows, extracted):
+    url = next(
+        u for u, p in corpus_rows.items()
+        if p.startswith(C.PDF_MAGIC) and extracted[u].ok
+        and extracted[u].spans
+    )
+    doc = json.loads(corpus_rows[url][len(C.PDF_MAGIC):])
+    expect = []
+    for i, p in enumerate(doc["pages"]):
+        if not has_eos(p["raw_output"]):
+            continue
+        _, elements = process_page(p["raw_output"], p["width"], p["height"], i)
+        for e in elements:
+            expect.append((e["id"], i, e["type"], e["bbox_normalized"],
+                           e["bbox_pixels"], e["text"]))
+    got = [
+        (s.id, s.page_index, s.type, list(s.bbox_normalized),
+         list(s.bbox_pixels), s.text)
+        for s in extracted[url].spans
+    ]
+    assert got == expect
+
+
+def test_micro_batch_packing_bounds_cost():
+    tasks = [
+        PageTask(url=f"u{i}", page_index=0, width=1275, height=1650, payload={})
+        for i in range(50)
+    ]
+    per = tasks[0].est_visual_tokens
+    batches = list(pack_micro_batches(tasks, max_batch_visual_tokens=per * 7))
+    assert all(len(b) <= 7 for b in batches)
+    assert sum(len(b) for b in batches) == 50
+    # order preserved
+    flat = [t.url for b in batches for t in b]
+    assert flat == [t.url for t in tasks]
+
+
+def test_parse_pdf_payload_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_pdf_payload(b"<html>not a pdf</html>")
+
+
+def test_hot_host_is_salted_across_buckets(spark):
+    from deepseek_ocr_2_spark.operators.extract import with_partition_key
+
+    df = C.build_corpus(spark, SF_TINY)
+    cfg = ExtractConfig(num_buckets=16, hot_host_threshold=5)
+    keyed = with_partition_key(df, cfg)
+    hot = keyed.filter(keyed.host == C.HOT_HOST)
+    buckets = {r.bucket for r in hot.select("bucket").distinct().collect()}
+    assert len(buckets) > 4, "giant host must fan out over many buckets"
+    # a small host stays in exactly one bucket (locality preserved)
+    small = (
+        keyed.filter(keyed.host != C.HOT_HOST)
+        .groupBy("host")
+        .agg({"bucket": "count"})
+    )
+    one = keyed.filter(keyed.host != C.HOT_HOST).select("host", "bucket").distinct()
+    per_host = one.groupBy("host").count().collect()
+    assert all(r["count"] == 1 for r in per_host)

@@ -1,0 +1,65 @@
+"""Snapshot commits, lineage metrics, checkpoint resume semantics."""
+
+from __future__ import annotations
+
+import os
+
+from deepseek_ocr_2_spark.operators.extract import ExtractConfig
+from deepseek_ocr_2_spark.plans import pipeline as P
+from deepseek_ocr_2_spark.sources import corpus as C
+
+from .conftest import SF_TINY
+
+CFG = ExtractConfig(num_buckets=8, hot_host_threshold=5)
+
+
+def test_run_commit_resume(spark, tmp_path):
+    out = str(tmp_path / "out")
+    pages = C.build_corpus(spark, SF_TINY)
+    n_total = pages.count()
+
+    snap1 = P.run_extraction(spark, pages, out, CFG, input_snapshot_id="in-1")
+    assert snap1.doc_count == n_total
+    assert snap1.failure_count > 0  # fixture corpus exercises failures
+    assert P.read_manifest(out)[0]["snapshot_id"] == snap1.snapshot_id
+
+    # Resume: everything committed -> second run extracts nothing new.
+    snap2 = P.run_extraction(spark, pages, out, CFG, input_snapshot_id="in-1")
+    assert snap2.doc_count == 0
+
+    # Committed view still sees exactly one result per url.
+    res = P.committed_results(spark, out)
+    assert res.count() == n_total
+    assert res.select("url").distinct().count() == n_total
+
+
+def test_uncommitted_snapshot_is_invisible(spark, tmp_path):
+    out = str(tmp_path / "out")
+    pages = C.build_corpus(spark, SF_TINY).limit(50)
+    P.run_extraction(spark, pages, out, CFG)
+
+    # Simulate a crashed run: snapshot dir exists, manifest never updated.
+    orphan = os.path.join(out, "data", "snapshot=deadbeef0000")
+    pages.limit(5).write.mode("overwrite").parquet(orphan)
+    res = P.committed_results(spark, out)
+    assert res.count() == 50  # orphan rows invisible
+
+
+def test_metrics_lineage_rows(spark, tmp_path):
+    out = str(tmp_path / "out")
+    pages = C.build_corpus(spark, SF_TINY)
+    snap = P.run_extraction(spark, pages, out, CFG, input_snapshot_id="in-7")
+
+    metrics = spark.read.parquet(
+        os.path.join(out, "metrics", f"snapshot={snap.snapshot_id}")
+    )
+    cols = set(metrics.columns)
+    assert {
+        "input_snapshot_id", "partition_id", "doc_count",
+        "extraction_failure_count", "failed_page_count", "page_count",
+        "est_visual_tokens", "snapshot_id",
+    } <= cols
+    rows = metrics.collect()
+    assert len(rows) > 1  # genuinely per-partition
+    assert sum(r.doc_count for r in rows) == snap.doc_count
+    assert all(r.input_snapshot_id == "in-7" for r in rows)
