@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction pipeline at sf0.001.
+``queries`` exposes every implemented operator from SURVEY.md §2 (plus
+the training-data addendum suite); ``oracle_sql`` gives the DuckDB
+equivalent for every SQL-expressible one.  Column names are aliased
+identically on both sides (driver hashes values under sorted column
+names).
 """
 
 from __future__ import annotations
@@ -12,27 +13,131 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deepseek_ocr_2_spark.operators import (
+    dedup,
+    multimodal,
+    relational as R,
+    simsearch,
+    textops,
+)
+from deepseek_ocr_2_spark.operators.extract import ExtractConfig, extract_pages
+from deepseek_ocr_2_spark.sources.corpus import build_corpus
+
+_EXTRACT_CFG = ExtractConfig(num_buckets=32, hot_host_threshold=20)
+
+
+def _extraction_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = build_corpus(spark, sf_dir)
+    return extract_pages(pages, _EXTRACT_CFG)
+
+
+def _extraction_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _extraction_results(spark, sf_dir)
+    return res.select(
+        "url",
+        "extracted_text",
+        F.size("spans").alias("n_spans"),
+        "lang",
+        "payload_type",
+        "ok",
+    )
+
+
+def _extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _extraction_results(spark, sf_dir)
+    return (
+        res.groupBy("payload_type", "ok")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("total_pages").alias("n_pages"),
+            F.sum("failed_pages").alias("n_failed_pages"),
+            F.sum("est_visual_tokens").alias("est_visual_tokens"),
+        )
+        .orderBy("payload_type", "ok")
+    )
+
+
+def _page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.page_metadata(build_corpus(spark, sf_dir)).orderBy(
+        "url", "page_index"
+    )
+
+
+def _payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.payload_features(build_corpus(spark, sf_dir)).orderBy("url")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: Common-Crawl-style corpus -> extraction at sf0.001."""
+    return _extraction_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- relational coverage (SURVEY §2.3-§2.7 analogs) ---
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_top_revenue_orders": R.q3_top_revenue_orders,
+        "q5_regional_revenue": R.q5_regional_revenue,
+        "semi_join_order_status": R.semi_join_order_status,
+        "anti_join_resume": R.anti_join_customers_without_orders,
+        "window_topk_orders": R.window_topk_orders_per_customer,
+        "window_running_total": R.window_running_total,
+        "window_lag_event_gaps": R.window_lag_event_gaps,
+        "grouped_concat_lines": R.grouped_concat_lines,
+        "setop_brands": R.setop_brands,
+        "pagination_events": R.pagination_events,
+        "rollup_order_counts": R.rollup_order_counts,
+        "json_props_extract": R.json_props_extract,
+        "orders_by_month": R.orders_by_month,
+        # --- text analysis (training-data ops) ---
+        "token_count": textops.token_count,
+        "quality_score": textops.quality_score,
+        "fingerprint_exact_dedup": textops.fingerprint_exact_dedup,
+        "lang_distribution": textops.lang_distribution,
+        "lang_id_heuristic": textops.lang_id_heuristic,
+        # --- deduplication ---
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
+        "simhash_near_dups": dedup.simhash_near_dups,
+        # --- similarity search ---
+        "cosine_topk": simsearch.cosine_topk,
+        "knn_self_join": simsearch.knn_self_join,
+        "lsh_ann_topk": simsearch.lsh_ann_topk,
+        # --- the extraction pipeline itself ---
+        "extraction_flagship": _extraction_flagship,
+        "extraction_metrics": _extraction_metrics,
+        "multimodal_page_metadata": _page_metadata,
+        "multimodal_payload_features": _payload_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": R.q1_oracle(),
+        "q3_top_revenue_orders": R.q3_oracle(),
+        "q5_regional_revenue": R.q5_oracle(),
+        "semi_join_order_status": R.semi_join_oracle(),
+        "anti_join_resume": R.anti_join_oracle(),
+        "window_topk_orders": R.window_topk_oracle(),
+        "window_running_total": R.window_running_oracle(),
+        "window_lag_event_gaps": R.window_lag_oracle(),
+        "grouped_concat_lines": R.grouped_concat_oracle(),
+        "setop_brands": R.setop_oracle(),
+        "pagination_events": R.pagination_oracle(),
+        "rollup_order_counts": R.rollup_oracle(),
+        "json_props_extract": R.json_props_oracle(),
+        "orders_by_month": R.orders_by_month_oracle(),
+        "token_count": textops.token_count_oracle(),
+        "quality_score": textops.quality_score_oracle(),
+        "fingerprint_exact_dedup": textops.fingerprint_oracle(),
+        "lang_distribution": textops.lang_distribution_oracle(),
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_oracle(),
+        "cosine_topk": simsearch.cosine_topk_oracle(),
+        "knn_self_join": simsearch.knn_self_join_oracle(),
+        # lang_id_heuristic, minhash_lsh_dedup, simhash_near_dups,
+        # lsh_ann_topk, extraction_* and multimodal_*: non-SQL kernels
+        # (Python heuristics / LSH signatures / byte-exact extraction);
+        # driver records rows-only checks.
+    }

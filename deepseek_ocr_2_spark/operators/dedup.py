@@ -1,0 +1,299 @@
+"""Near-duplicate detection suite over the documents table.
+
+Four strategies, each a first-class pipeline stage (SURVEY §2 addendum —
+the training-data operators the reference lacks but a 100 TB corpus
+job needs):
+
+* exact         — hash-groupBy (``textops.fingerprint_exact_dedup``)
+* n-gram Jaccard — exact shingle-overlap pairs, fully SQL-expressible
+                   (window LEAD shingling -> distinct -> self-join ->
+                   grouped counts), oracle-verified
+* MinHash + LSH — signature via Arrow-batched kernel, band keys exploded
+                  JVM-side, candidate pairs from band-bucket self-join,
+                  verified by exact Jaccard on the candidates only
+* SimHash       — 64-bit signature kernel; near-dup candidates via the
+                  4x16-bit band trick (Hamming<=3 pairs must share a band)
+
+Scale notes: the Jaccard self-join shuffles on the shingle key — at
+10^12 docs that join is what MinHash/LSH exists to avoid: LSH touches
+only ``bands`` rows per doc and its self-join keys are 128-bit band
+buckets whose expected bucket size is O(1) for non-duplicate text, so
+candidate generation stays linear.  The exact-Jaccard verify runs only
+on candidates (a tiny fraction).  Hot shingles (boilerplate n-grams)
+are the skew risk: the LSH path is immune (bucket = whole band of the
+signature), while the exact path caps shingle fan-out via a frequency
+filter, the standard stopword-shingle guard.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+from ..functions import textstats
+from .relational import load
+
+JACCARD_THRESHOLD = 0.8
+NUM_PERM = 128
+BANDS = 16
+SHINGLE_K = 3
+# Shingles appearing in more than this many docs are boilerplate;
+# excluded from the exact pair join to cap fan-out (both engines).
+MAX_SHINGLE_DF = 50
+
+
+def _shingled(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct word-3-gram pairs, all JVM-side."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.withColumn("t1", F.lead("tok", 1).over(w))
+        .withColumn("t2", F.lead("tok", 2).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "tok", "t1", "t2").alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard >= 0.8 near-duplicate pairs (oracle-backed)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = _shingled(docs)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    rare = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle"),
+        "shingle",
+    )
+    a = rare.alias("a")
+    b = rare.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")
+    )
+    cb = counts.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")
+    )
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      FROM toks, UNNEST(generate_series(1, len(ts)-2)) AS t(i)
+      WHERE len(ts) >= 3
+    ), counts AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), rare AS (
+      SELECT * FROM sh WHERE shingle IN (
+        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF})
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM rare a JOIN rare b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.inter,
+           ROUND(p.inter*1.0/(ca.n + cb.n - p.inter), 6) AS jaccard
+    FROM pairs p
+    JOIN counts ca ON p.doc_a = ca.doc_id
+    JOIN counts cb ON p.doc_b = cb.doc_id
+    WHERE p.inter*1.0/(ca.n + cb.n - p.inter) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """
+
+
+_SIG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("bands", ArrayType(StringType()), False),
+    ]
+)
+
+
+def _minhash_bands_df(docs: DataFrame) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bands: List[List[str]] = []
+            for text in pdf["text"]:
+                toks = textstats.tokenize(text or "")
+                sig = textstats.minhash_signature(
+                    toks, num_perm=NUM_PERM, k=SHINGLE_K
+                )
+                out_bands.append(textstats.minhash_bands(sig, bands=BANDS))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "bands": out_bands}
+            )
+
+    return docs.mapInPandas(run, schema=_SIG_SCHEMA)
+
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket candidate pairs (shuffle key = band hash)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bands = _minhash_bands_df(docs).select(
+        "doc_id", F.explode("bands").alias("band_key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard on tokens.
+
+    The verify join re-reads only candidate docs' token sets — at scale
+    this is the cheap step (candidates << pairs).
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cands = minhash_lsh_candidates(spark, sf_dir)
+    sh = _shingled(docs)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("db2"), F.col("shingle").alias("sh_b"))
+    shared = (
+        cands.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("db2"))
+            & (F.col("shingle") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SIMHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("simhash", LongType(), False),
+        StructField("b0", LongType(), False),
+        StructField("b1", LongType(), False),
+        StructField("b2", LongType(), False),
+        StructField("b3", LongType(), False),
+    ]
+)
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash + the four 16-bit bands (Hamming<=3 -> shared band)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = textstats.simhash(textstats.tokenize(text or ""))
+                signed = h - (1 << 64) if h >= (1 << 63) else h
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "simhash": signed,
+                        "b0": (h >> 0) & 0xFFFF,
+                        "b1": (h >> 16) & 0xFFFF,
+                        "b2": (h >> 32) & 0xFFFF,
+                        "b3": (h >> 48) & 0xFFFF,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(run, schema=_SIMHASH_SCHEMA)
+
+
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs sharing any 16-bit SimHash band, verified by
+    Hamming distance <= 3 JVM-side (bit_count on xor)."""
+    sig = simhash_signatures(spark, sf_dir).cache()
+    pairs = None
+    for band in ["b0", "b1", "b2", "b3"]:
+        a = sig.select(F.col("doc_id").alias("doc_a"),
+                       F.col("simhash").alias("ha"), F.col(band).alias("k"))
+        b = sig.select(F.col("doc_id").alias("doc_b"),
+                       F.col("simhash").alias("hb"), F.col(band).alias("k"))
+        p = a.join(b, "k").filter(F.col("doc_a") < F.col("doc_b")).drop("k")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))
+            ),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,145 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The container ships no image/audio codecs (no PIL/ffmpeg/torch), so the
+*decode* step is stubbed behind ``NotImplementedError`` / a deterministic
+fake — but everything Spark-side is real and tested: schemas, Arrow
+batch shapes, UDF signatures, partitioning, and the tiling/token-cost
+math the real decoder would use (``functions/tiling.py``, byte-parity
+with the reference preprocessor).
+
+Payload metadata probe mirrors the reference's ``get_pdf_info``
+(``deepseek_ocr2_api/processors/pdf.py:220-261``): page count + per-page
+dims without decoding pixels.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.tiling import crop_ratio_for, num_image_tokens
+from .decode import PDF_MAGIC
+
+PAGE_META_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("page_index", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("wtiles", IntegerType(), False),
+        StructField("htiles", IntegerType(), False),
+        StructField("est_visual_tokens", IntegerType(), False),
+        StructField("payload_bytes", LongType(), False),
+    ]
+)
+
+
+def page_metadata(pages: DataFrame) -> DataFrame:
+    """(url, html) -> one row per PDF page with geometry + decode cost.
+
+    The PDF branch of ``get_pdf_info``: metadata without pixel decode.
+    HTML payloads yield no rows (they have no page geometry).
+    """
+    narrow = pages.select("url", "html")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                blob = bytes(blob)
+                if not blob.startswith(PDF_MAGIC):
+                    continue
+                try:
+                    doc = json.loads(blob[len(PDF_MAGIC):])
+                except json.JSONDecodeError:
+                    continue
+                for i, p in enumerate(doc.get("pages", [])):
+                    w, h = int(p["width"]), int(p["height"])
+                    wt, ht = crop_ratio_for(w, h)
+                    rows.append(
+                        {
+                            "url": url,
+                            "page_index": i,
+                            "width": w,
+                            "height": h,
+                            "wtiles": wt,
+                            "htiles": ht,
+                            "est_visual_tokens": num_image_tokens(w, h),
+                            "payload_bytes": len(blob),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return narrow.mapInPandas(run, schema=PAGE_META_SCHEMA)
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("modality", StringType(), False),
+        StructField("feature", ArrayType(IntegerType()), False),
+    ]
+)
+
+
+def decode_image(blob: bytes) -> "np.ndarray":
+    """Real pixel decode — unavailable in this container by design.
+
+    The real path needs an image codec (PIL/libjpeg); keep the boundary
+    explicit so GPU clusters plug a decoder in without touching the
+    Spark plumbing around it.
+    """
+    raise NotImplementedError(
+        "pixel decode requires an image codec not present in this "
+        "container; deterministic_fake_features() is the CI stand-in"
+    )
+
+
+def deterministic_fake_features(blob: bytes, dim: int = 16) -> list:
+    """CI stand-in for decode+feature-extract: a byte-histogram sketch.
+
+    Deterministic function of the payload bytes with the same output
+    shape as a real feature extractor, so batch plumbing and schema are
+    exercised end to end.
+    """
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
+    return [int(v) for v in hist]
+
+
+def payload_features(pages: DataFrame, dim: int = 16) -> DataFrame:
+    """Batched feature extraction over opaque binary payloads."""
+    narrow = pages.select("url", "html")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                blob = bytes(blob)
+                modality = "pdf" if blob.startswith(PDF_MAGIC) else "html"
+                rows.append(
+                    {
+                        "url": url,
+                        "modality": modality,
+                        "feature": deterministic_fake_features(blob, dim),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return narrow.mapInPandas(run, schema=FEATURE_SCHEMA)

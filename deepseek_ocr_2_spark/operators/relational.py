@@ -1,0 +1,432 @@
+"""Relational operator coverage: joins, aggregations, windows, sorts,
+set ops, pagination — the SQL-expressible analogs of the reference's
+control flow (SURVEY §2.3-§2.7) plus standard warehouse coverage, each
+verified against a DuckDB oracle by the driver.
+
+Numeric-determinism rule used throughout: *money is summed as integer
+cents* (``round(x*100) :: bigint``).  Per-row double arithmetic is
+IEEE-identical across engines; integer sums are associative, so the
+Spark result hashes byte-equal to the DuckDB oracle regardless of
+partial-aggregation order.  Floating aggregates (whose value depends on
+reduction order) never appear in an output column.
+
+Scale notes: every query below keeps filters/projections at the scan
+(Catalyst pushdown — verified via ``.explain``: PushedFilters + pruned
+ReadSchema), broadcasts dimension tables explicitly, and aggregates with
+map-side partial aggregation (HashAggregate x2 around the exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col: F.Column) -> F.Column:
+    return F.round(col * 100, 0).cast("long")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style grouped aggregation (map-side partials, no join)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_price_cents"),
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_price_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q1_oracle() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS sum_base_price_cents,
+           SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)) AS sum_disc_price_cents,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """
+
+
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + deterministic top-10 (broadcast the small side)."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents")
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q3_oracle() -> str:
+    return """
+    SELECT l_orderkey,
+           SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)) AS revenue_cents
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey
+    ORDER BY revenue_cents DESC, l_orderkey ASC
+    LIMIT 10
+    """
+
+
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way join chain; all dimension tables broadcast."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q5_oracle() -> str:
+    return """
+    SELECT r_name, n_name,
+           SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)) AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """
+
+
+def semi_join_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: orders that have at least one returned lineitem."""
+    orders = load(spark, sf_dir, "orders")
+    returned = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def semi_join_oracle() -> str:
+    return """
+    SELECT o_orderstatus, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """
+
+
+def anti_join_customers_without_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT ANTI — the checkpoint-resume primitive (plans/pipeline.py
+    uses the same shape to skip committed urls)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def anti_join_oracle() -> str:
+    return """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """
+
+
+def window_topk_orders_per_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-3-per-group via row_number — reference O3 retention analog."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            _cents(F.col("o_totalprice")).alias("totalprice_cents"),
+            "rn",
+        )
+    )
+
+
+def window_topk_oracle() -> str:
+    return """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(o_totalprice*100, 0) AS BIGINT) AS totalprice_cents, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders) t
+    WHERE rn <= 3
+    """
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer revenue (unbounded-preceding frame)."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_cents(F.col("o_totalprice"))).over(w).alias("running_cents"),
+    )
+
+
+def window_running_oracle() -> str:
+    return """
+    SELECT o_custkey, o_orderkey,
+           SUM(CAST(ROUND(o_totalprice*100, 0) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+    FROM orders
+    """
+
+
+def grouped_concat_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered grouped string concat — reference A2 (page-markdown join)
+    expressed relationally: collect_list(struct) -> sort -> concat_ws."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.col("l_linenumber"))),
+                    lambda x: x.cast("string"),
+                ),
+                "|",
+            ).alias("line_numbers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .filter(F.col("n_lines") >= 4)
+        .orderBy("l_orderkey")
+    )
+
+
+def grouped_concat_oracle() -> str:
+    return """
+    SELECT l_orderkey,
+           STRING_AGG(CAST(l_linenumber AS VARCHAR), '|' ORDER BY l_linenumber) AS line_numbers,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING COUNT(*) >= 4
+    ORDER BY l_orderkey
+    """
+
+
+def setop_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT/INTERSECT coverage on part brands."""
+    part = load(spark, sf_dir, "part")
+    big = part.filter(F.col("p_size") > 30).select("p_brand").distinct()
+    brass = (
+        part.filter(F.col("p_type").contains("BRASS"))
+        .select("p_brand")
+        .distinct()
+    )
+    return (
+        big.exceptAll(big.intersect(brass))
+        .withColumnRenamed("p_brand", "brand")
+        .orderBy("brand")
+    )
+
+
+def setop_oracle() -> str:
+    return """
+    SELECT p_brand AS brand FROM part WHERE p_size > 30
+    EXCEPT
+    SELECT p_brand AS brand FROM part
+      WHERE p_size > 30 AND p_brand IN
+        (SELECT p_brand FROM part WHERE p_type LIKE '%BRASS%')
+    ORDER BY brand
+    """
+
+
+def pagination_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newest-first offset/limit pagination — reference O2 (task listing,
+    ``task_manager.py:215-222``)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("ts"), F.asc("event_id"))
+        .select("event_id", "ts", "event_type", "user_id")
+        .offset(100)
+        .limit(50)
+    )
+
+
+def pagination_oracle() -> str:
+    return """
+    SELECT event_id, ts, event_type, user_id FROM events
+    ORDER BY ts DESC, event_id ASC
+    LIMIT 50 OFFSET 100
+    """
+
+
+def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals (null grouping keys coalesced for hash parity)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "n_orders",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+def rollup_oracle() -> str:
+    return """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    ORDER BY priority, status
+    """
+
+
+def window_lag_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG over per-user event streams; integer-second gap sums."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gaps = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        # timestampdiff is timezone-independent (works on TIMESTAMP_NTZ)
+        .withColumn("gap_us", F.expr("timestampdiff(MICROSECOND, prev_ts, ts)"))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.sum("gap_us").alias("sum_gap_us"),
+            F.count(F.lit(1)).alias("n_gaps"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def window_lag_oracle() -> str:
+    return """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts)
+               - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC)) AS gap_us
+      FROM events)
+    SELECT event_type, SUM(gap_us) AS sum_gap_us, COUNT(*) AS n_gaps
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """
+
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events props column."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def json_props_oracle() -> str:
+    return """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date truncation + aggregation (date-function coverage)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("revenue_cents"),
+        )
+        .orderBy("month")
+    )
+
+
+def orders_by_month_oracle() -> str:
+    return """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           COUNT(*) AS n_orders,
+           SUM(CAST(ROUND(o_totalprice*100, 0) AS BIGINT)) AS revenue_cents
+    FROM orders GROUP BY 1 ORDER BY month
+    """

@@ -1,0 +1,162 @@
+"""Text-analysis operators over the documents table — the training-data
+pipeline surface (language ID, quality scoring, token counting,
+fingerprinting).  JVM-side built-ins wherever the semantics allow
+(oracle-verifiable, whole-stage-codegen friendly); the Python kernels in
+``functions/textstats.py`` back only the genuinely non-SQL paths.
+
+Determinism: per-row arithmetic only (ratios of ints, IEEE-exact in
+both engines); no order-dependent float aggregates.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions import textstats
+from .relational import load
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + alnum-token count per document."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("alnum_tokens"),
+    )
+
+
+def token_count_oracle() -> str:
+    return r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS alnum_tokens
+    FROM documents
+    """
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface-statistics quality score, JVM-side.
+
+    Same formula as ``functions/textstats.quality_score`` restricted to
+    the ASCII feature set both engines compute identically: mean of
+    (length signal, [a-zA-Z] ratio, non-punctuation ratio).  All three
+    terms are ratios of exact ints -> IEEE-identical across engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    punct = F.length(
+        F.regexp_replace(F.col("text"), r"[^.,;:!?\"'()\[\]{}]", "")
+    )
+    score = (
+        F.least(F.lit(1.0), n / F.lit(500.0))
+        + alpha / n
+        + (F.lit(1.0) - punct / n)
+    ) / F.lit(3.0)
+    return docs.filter(n > 0).select(
+        "doc_id", F.round(score, 6).alias("quality"),
+        (n >= 200).alias("long_enough"),
+    )
+
+
+def quality_score_oracle() -> str:
+    return r"""
+    SELECT doc_id,
+           ROUND((LEAST(1.0, length(text)/500.0)
+                  + length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))*1.0/length(text)
+                  + (1.0 - length(regexp_replace(text, '[^.,;:!?"''()\[\]{}]', '', 'g'))*1.0/length(text))
+                 ) / 3.0, 6) AS quality,
+           length(text) >= 200 AS long_enough
+    FROM documents WHERE length(text) > 0
+    """
+
+
+def fingerprint_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 of whitespace-normalized lowercase text; keep the
+    min doc_id per group, count members (hash-groupBy dedup)."""
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    ).alias("fingerprint")
+    return (
+        docs.select("doc_id", fp)
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .orderBy("fingerprint")
+    )
+
+
+def fingerprint_oracle() -> str:
+    return r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS group_size
+    FROM documents
+    GROUP BY 1 ORDER BY fingerprint
+    """
+
+
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language histogram joined with mean length per language."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def lang_distribution_oracle() -> str:
+    return """
+    SELECT lang, COUNT(*) AS n_docs, SUM(length(text)) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """
+
+
+_LANG_ID_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("lang_detected", StringType(), False),
+        StructField("lang_stored", StringType(), True),
+    ]
+)
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel language-ID (n-gram/stopword heuristic) as an Arrow-batched
+    stage — the non-SQL path; the driver records a rows-only check."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "lang_detected": [
+                        textstats.detect_language(t or "") for t in pdf["text"]
+                    ],
+                    "lang_stored": pdf["lang"],
+                }
+            )
+
+    return docs.mapInPandas(run, schema=_LANG_ID_SCHEMA)
