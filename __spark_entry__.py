@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": simsearch.cosine_topk,
         "knn_self_join": simsearch.knn_self_join,
         "lsh_ann_topk": simsearch.lsh_ann_topk,
+        "embedding_near_dup_pairs": simsearch.embedding_near_dup_pairs,
         # --- the extraction pipeline itself ---
         "extraction_flagship": _extraction_flagship,
         "extraction_metrics": _extraction_metrics,
@@ -136,6 +137,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_oracle(),
         "cosine_topk": simsearch.cosine_topk_oracle(),
         "knn_self_join": simsearch.knn_self_join_oracle(),
+        "embedding_near_dup_pairs": simsearch.embedding_near_dup_oracle(),
         # lang_id_heuristic, minhash_lsh_dedup, simhash_near_dups,
         # lsh_ann_topk, extraction_* and multimodal_*: non-SQL kernels
         # (Python heuristics / LSH signatures / byte-exact extraction);

@@ -1,0 +1,123 @@
+"""Benchmark harness: headline extraction throughput + operator timings.
+
+Prints ONE JSON line:
+  {"metric": "extracted_docs_per_sec", "value": N, "unit": "docs/sec",
+   "queries": {"<name>": sec, ...}, "sf": 0.1, ...extras}
+
+Env:
+  SPARK_GRAFT_SF_DIR  input scale dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+
+The headline number times the full extraction stage (read staged corpus
+parquet -> salted repartition -> mapInPandas kernel -> force every
+column) — corpus *generation* is staged to parquet outside the timed
+window, since at 100 TB the input table already exists.
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+``tools/scaling_bench.py`` which writes ``BENCH/BASELINE.md``; this file
+stays fast enough for a per-round driver run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("deepseek-ocr-2-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        .getOrCreate()
+    )
+
+
+def time_extraction(spark, sf_dir: str, corpus_path: str) -> tuple[float, int]:
+    """Timed window: read staged corpus -> extract -> force all columns."""
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_2_spark.operators.extract import (
+        ExtractConfig,
+        extract_pages,
+    )
+
+    pages = spark.read.parquet(corpus_path)
+    cfg = ExtractConfig(num_buckets=max(CPUS * 4, 64), hot_host_threshold=200)
+    t0 = time.time()
+    res = extract_pages(pages, cfg)
+    agg = res.select(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.length("extracted_text")).alias("chars"),
+        F.sum(F.size("spans")).alias("spans"),
+    ).collect()[0]
+    dt = time.time() - t0
+    return dt, int(agg["docs"])
+
+
+def main() -> None:
+    spark = build_session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from deepseek_ocr_2_spark.sources.corpus import build_corpus
+
+    import __spark_entry__ as entry
+
+    staging = tempfile.mkdtemp(prefix="bench_corpus_")
+    corpus_path = os.path.join(staging, "pages.parquet")
+    try:
+        build_corpus(spark, SF_DIR).write.mode("overwrite").parquet(corpus_path)
+
+        # warm-up (JVM/codegen/Arrow), then the timed run
+        time_extraction(spark, SF_DIR, corpus_path)
+        wall, docs = time_extraction(spark, SF_DIR, corpus_path)
+
+        queries = {}
+        qs = entry.queries()
+        for name in [
+            "q1_pricing_summary",
+            "q5_regional_revenue",
+            "window_topk_orders",
+            "grouped_concat_lines",
+            "fingerprint_exact_dedup",
+            "ngram_jaccard_pairs",
+            "minhash_lsh_dedup",
+            "cosine_topk",
+        ]:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).collect()
+            queries[name] = round(time.time() - t0, 3)
+        queries["extraction_sf"] = round(wall, 3)
+
+        out = {
+            "metric": "extracted_docs_per_sec",
+            "value": round(docs / wall, 2),
+            "unit": "docs/sec",
+            "queries": queries,
+            "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+            "docs": docs,
+            "extraction_wall_sec": round(wall, 3),
+            "cpus": CPUS,
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

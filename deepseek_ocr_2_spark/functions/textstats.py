@@ -137,36 +137,40 @@ def _hash64(value: str) -> int:
     return int.from_bytes(hashlib.md5(value.encode("utf-8")).digest()[:8], "big")
 
 
+def _hash32(value: str) -> int:
+    return int.from_bytes(hashlib.md5(value.encode("utf-8")).digest()[:4], "big")
+
+
 _MERSENNE = (1 << 61) - 1
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
+    """(a, b) with a,b < 2^31 so a*x+b < 2^63 for 32-bit x — the whole
+    (a*x+b) mod p computation stays exact inside uint64."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a = rng.randint(1, 1 << 31, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, 1 << 31, size=num_perm, dtype=np.uint64)
     return a, b
 
 
 def minhash_signature(tokens: Sequence[str], num_perm: int = 128, k: int = 3, seed: int = 42) -> List[int]:
     """MinHash signature over word k-shingles, (a*x+b) mod p family.
 
+    Shingles hash to 32 bits; with a,b < 2^31 the affine map never
+    overflows uint64, so the min over each permutation row is one exact
+    vectorized numpy reduction (the Python-loop version was the hot spot
+    of the LSH dedup stage at bench scale).
+
     Empty docs get the all-max sentinel so they never collide with real
-    content.  Uses python ints for the modular math (exact, no overflow).
+    content.
     """
     shs = shingles(tokens, k)
     a, b = _perm_params(num_perm, seed)
     if not shs:
         return [int(_MERSENNE)] * num_perm
-    base = np.array([_hash64(s) for s in shs], dtype=np.uint64)
-    # (a*x + b) mod p, computed in object space to avoid uint64 overflow.
-    ao = a.astype(object)
-    bo = b.astype(object)
-    xo = base.astype(object)
-    sig = []
-    for i in range(num_perm):
-        vals = (ao[i] * xo + bo[i]) % _MERSENNE
-        sig.append(int(vals.min()))
-    return sig
+    x = np.array([_hash32(s) for s in shs], dtype=np.uint64)
+    vals = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    return [int(v) for v in vals.min(axis=1)]
 
 
 def minhash_bands(signature: Sequence[int], bands: int = 16) -> List[str]:

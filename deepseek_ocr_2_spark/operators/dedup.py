@@ -47,7 +47,10 @@ from .relational import load
 
 JACCARD_THRESHOLD = 0.8
 NUM_PERM = 128
-BANDS = 16
+# 32 bands x 4 rows: LSH threshold (1/32)^(1/4) ~= 0.42 — generous for
+# t=0.8 so short docs (high signature variance) still collide; the
+# exact-Jaccard verify prunes the extra candidates.
+BANDS = 32
 SHINGLE_K = 3
 # Shingles appearing in more than this many docs are boilerplate;
 # excluded from the exact pair join to cap fan-out (both engines).

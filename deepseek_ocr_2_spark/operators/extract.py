@@ -98,10 +98,18 @@ EXTRACT_SCHEMA = StructType(
 
 @dataclass
 class ExtractConfig:
-    """Job-level knobs, broadcast to executors by closure capture."""
+    """Job-level knobs, broadcast to executors by closure capture.
+
+    ``static_hot_hosts``: when set, skips the host-count detection job
+    and salts exactly these hosts.  In production the hot-host list is
+    computed once per input snapshot (a tiny aggregate) and reused by
+    every run over that snapshot — recomputing it per job is wasted I/O
+    at 100 TB.
+    """
 
     num_buckets: int = 256
     hot_host_threshold: int = 20
+    static_hot_hosts: Optional[tuple] = None
     max_batch_visual_tokens: int = DEFAULT_MAX_BATCH_VISUAL_TOKENS
     skip_incomplete_pages: bool = True  # reference skip_repeat default
     page_separator: str = PAGE_SEPARATOR
@@ -263,21 +271,25 @@ def with_partition_key(
     df = df.withColumn(
         "host", F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)/", 1)
     )
-    if hot_hosts is None:
-        hot_hosts = (
-            df.groupBy("host")
-            .agg(F.count(F.lit(1)).alias("host_docs"))
-            .filter(F.col("host_docs") > cfg.hot_host_threshold)
-            .select("host")
-        )
-    hot = hot_hosts.withColumn("is_hot", F.lit(True))
-    df = df.join(F.broadcast(hot), "host", "left")
-    key = F.when(
-        F.col("is_hot").isNotNull(), F.xxhash64(F.col("url"))
-    ).otherwise(F.xxhash64(F.col("host")))
+    if cfg.static_hot_hosts is not None:
+        is_hot = F.col("host").isin(list(cfg.static_hot_hosts))
+    else:
+        if hot_hosts is None:
+            hot_hosts = (
+                df.groupBy("host")
+                .agg(F.count(F.lit(1)).alias("host_docs"))
+                .filter(F.col("host_docs") > cfg.hot_host_threshold)
+                .select("host")
+            )
+        hot = hot_hosts.withColumn("is_hot_flag", F.lit(True))
+        df = df.join(F.broadcast(hot), "host", "left")
+        is_hot = F.col("is_hot_flag").isNotNull()
+    key = F.when(is_hot, F.xxhash64(F.col("url"))).otherwise(
+        F.xxhash64(F.col("host"))
+    )
     return df.withColumn(
         "bucket", F.pmod(key, F.lit(cfg.num_buckets)).cast("int")
-    ).drop("is_hot")
+    ).drop("is_hot_flag")
 
 
 def extract_pages(

@@ -144,6 +144,48 @@ def knn_self_join_oracle() -> str:
     """
 
 
+NEAR_DUP_COSINE = 0.35
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.35).
+
+    At test scale this is the exact all-pairs computation (the oracle);
+    at 10^12 rows the same predicate runs over LSH-bucketed candidates
+    (``lsh_buckets`` self-join) instead of the cross join — same rerank
+    expression, linear candidate generation.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("ea"), F.col("eb"))
+                / (_norm(F.col("ea")) * _norm(F.col("eb"))),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_near_dup_oracle() -> str:
+    # filter on the ROUNDED value, matching the Spark side exactly
+    return f"""
+    SELECT * FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    WHERE cosine >= {NEAR_DUP_COSINE}
+    ORDER BY vec_a, vec_b
+    """
+
+
 def _hyperplanes(dim: int) -> np.ndarray:
     rng = np.random.RandomState(LSH_SEED)
     return rng.standard_normal((N_HYPERPLANES, dim)).astype(np.float64)

@@ -1,0 +1,135 @@
+"""Incremental extraction via Structured Streaming.
+
+The reference ingests via an HTTP upload queue drained by async workers
+(``deepseek_ocr2_api/task_manager.py:263-640``).  The Spark-native
+equivalent is a file-source stream: crawl batches land as parquet files
+in a drop directory; ``readStream`` discovers them, the same extraction
+kernel processes them (identical per-url bytes as the batch path — the
+kernel is a pure function of the row), and ``writeStream`` commits
+exactly-once via its checkpoint, replacing the reference's mutable
+task-index JSON with source offsets + sink commit log.
+
+Two modes:
+
+* ``start_extraction_stream`` — continuous or ``availableNow`` one-shot
+  (drain-what-exists, then stop: the cron-style incremental top-up).
+* ``streaming_metrics`` — per-micro-batch lineage rows appended through
+  ``foreachBatch`` (batch id, doc/failure counts), the streaming analog
+  of the batch pipeline's per-partition metrics table.
+
+Watermarks/stateful aggregation are deliberately absent from the hot
+path: extraction is stateless per row, so the stream stays a pure map —
+no state store, no late-data semantics to tune.  (The windowed rollup in
+``windowed_failure_counts`` shows the watermark pattern where it *is*
+wanted: failure-rate monitoring over event time.)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.extract import EXTRACT_SCHEMA, ExtractConfig, make_extract_kernel
+from ..sources.corpus import CORPUS_SCHEMA
+
+
+def read_page_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
+    """File-source stream over a parquet drop directory."""
+    return (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(drop_dir)
+    )
+
+
+def extract_stream(pages: DataFrame, cfg: Optional[ExtractConfig] = None) -> DataFrame:
+    """Streaming flavor of ``extract_pages``: same kernel, same schema.
+
+    No pre-repartition: micro-batches are already file-sized; the
+    kernel routes HTML/PDF rows identically to the batch path, so
+    per-url output bytes match the batch pipeline exactly.
+    """
+    cfg = cfg or ExtractConfig()
+    narrow = pages.select("url", "html", "lang")
+    return narrow.mapInPandas(make_extract_kernel(cfg), schema=EXTRACT_SCHEMA)
+
+
+def start_extraction_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: Optional[ExtractConfig] = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Drop dir -> extraction -> parquet sink with exactly-once checkpoint."""
+    results = extract_stream(read_page_stream(spark, drop_dir), cfg)
+    writer = (
+        results.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_metrics_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    metrics_dir: str,
+    checkpoint_dir: str,
+    cfg: Optional[ExtractConfig] = None,
+) -> StreamingQuery:
+    """Per-micro-batch lineage via foreachBatch (streaming A1 analog)."""
+    results = extract_stream(read_page_stream(spark, drop_dir), cfg)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("payload_type")
+            .agg(
+                F.count(F.lit(1)).alias("doc_count"),
+                F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias(
+                    "extraction_failure_count"
+                ),
+                F.sum("failed_pages").alias("failed_page_count"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(metrics_dir)
+        )
+
+    return (
+        results.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_failure_counts(pages_with_results: DataFrame) -> DataFrame:
+    """Event-time windowed failure rollup with a watermark (monitoring).
+
+    Input: a *streaming* DataFrame with ``warc_ts`` + ``ok`` columns.
+    10-minute tumbling windows, 30-minute watermark for late crawl
+    records.
+    """
+    return (
+        pages_with_results.withWatermark("warc_ts", "30 minutes")
+        .groupBy(F.window("warc_ts", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("failures"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "docs",
+            "failures",
+        )
+    )

@@ -24,8 +24,9 @@ def test_exact_pairs_are_real_near_dups(exact_pairs):
 
 
 def test_minhash_lsh_finds_every_exact_pair(spark, exact_pairs):
-    """16-band/8-row LSH at t=0.8: collision prob ~1-(1-0.8^8)^16 ≈ 0.96
-    per pair; on the planted ~0.99-Jaccard dups recall must be total."""
+    """32-band/4-row LSH (threshold ~0.42): at J>=0.8 collision prob is
+    1-(1-0.8^4)^32 > 0.9999 even under short-doc signature variance, so
+    recall on the planted dups must be total."""
     lsh = {
         (r.doc_a, r.doc_b): r.jaccard
         for r in dedup.minhash_lsh_dedup(spark, SF_SMALL).collect()

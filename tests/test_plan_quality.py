@@ -1,0 +1,80 @@
+"""Physical-plan quality gates: pushdown, pruning, broadcast, shuffle
+count.  These are the 100-TB guarantees — a regression here is a
+performance bug even when results stay correct."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from deepseek_ocr_2_spark.operators import relational as R
+from deepseek_ocr_2_spark.operators import textops
+from deepseek_ocr_2_spark.operators.extract import ExtractConfig, extract_pages
+from deepseek_ocr_2_spark.sources import corpus as C
+
+from .conftest import SF_SMALL, SF_TINY
+
+
+def formatted_plan(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_q3_broadcasts_dims_and_prunes_columns(spark):
+    plan = formatted_plan(R.q3_top_revenue_orders(spark, SF_SMALL))
+    # the BUILDING filter reaches the customer scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    # every join is broadcast (Spark may also broadcast the orders
+    # side at this scale), never sort-merge
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # lineitem scan reads only the 3 needed columns of 11
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 3
+
+
+def test_q1_partial_aggregation_before_shuffle(spark):
+    plan = formatted_plan(R.q1_pricing_summary(spark, SF_SMALL))
+    # map-side partial agg: two HashAggregates around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_token_count_prunes_to_two_columns(spark):
+    plan = formatted_plan(textops.token_count(spark, SF_SMALL))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "doc_id",
+        "text",
+    }
+
+
+def test_extract_shuffles_payload_exactly_once_and_narrow(spark):
+    """One REPARTITION_BY_NUM exchange carries the payload, pruned to
+    (url, html, lang, bucket); the hot-host detection path shuffles only
+    (host, count) and joins back via broadcast."""
+    pages = C.build_corpus(spark, SF_TINY)
+    res = extract_pages(pages, ExtractConfig(num_buckets=16, hot_host_threshold=5))
+    plan = formatted_plan(res)
+    body = plan.split("== Physical Plan ==")[-1].split("===== Subqueries")[0]
+    assert "BroadcastHashJoin" in body
+    assert "SortMergeJoin" not in body
+
+    # parse (input columns, partitioning kind) per exchange
+    exchanges = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n"
+        r"Arguments: hashpartitioning\([^)]*\), (\w+)",
+        body,
+    )
+    repart = [cols for cols, kind in exchanges if kind == "REPARTITION_BY_NUM"]
+    ensure = [cols for cols, kind in exchanges if kind == "ENSURE_REQUIREMENTS"]
+    assert len(repart) == 1, exchanges
+    names = {c.strip().split("#")[0] for c in repart[0].split(",")}
+    assert names == {"url", "html", "lang", "bucket"}  # payload pruned
+    for cols in ensure:  # hot-host agg shuffle: no payload bytes
+        assert "html" not in cols and "url" not in cols

@@ -1,0 +1,100 @@
+"""Structured Streaming ingestion: exactly-once extraction, incremental
+top-up, per-batch metrics, streaming/batch byte parity."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from deepseek_ocr_2_spark.operators.extract import ExtractConfig, extract_pages
+from deepseek_ocr_2_spark.sources import corpus as C
+from deepseek_ocr_2_spark.streaming import ingest
+
+from .conftest import SF_TINY
+
+CFG = ExtractConfig(num_buckets=8, hot_host_threshold=10**9)
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return C.build_corpus(spark, SF_TINY).cache()
+
+
+def _await(query, timeout=120):
+    assert query.awaitTermination(timeout), "stream did not drain in time"
+
+
+def test_stream_drains_drop_dir_and_matches_batch(spark, tmp_path, corpus_df):
+    drop = str(tmp_path / "drop")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    corpus_df.limit(120).write.mode("overwrite").parquet(drop)
+
+    q = ingest.start_extraction_stream(spark, drop, out, ckpt, CFG)
+    _await(q)
+
+    got = {r.url: r.extracted_text for r in spark.read.parquet(out).collect()}
+    want = {
+        r.url: r.extracted_text
+        for r in extract_pages(
+            spark.read.parquet(drop), CFG, repartition=False
+        ).collect()
+    }
+    assert got == want  # streaming output byte-identical to batch
+
+
+def test_stream_incremental_topup_is_exactly_once(spark, tmp_path, corpus_df):
+    drop = str(tmp_path / "drop")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first = corpus_df.limit(60)
+    first.write.mode("overwrite").parquet(drop)
+    _await(ingest.start_extraction_stream(spark, drop, out, ckpt, CFG))
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 60
+
+    # second batch of files lands; restart with the same checkpoint
+    corpus_df.limit(100).write.mode("append").parquet(drop)
+    _await(ingest.start_extraction_stream(spark, drop, out, ckpt, CFG))
+    res = spark.read.parquet(out)
+    assert res.count() == 160  # only the new files were processed
+    # no url extracted twice more than its occurrence count in the drop
+    n_inputs = spark.read.parquet(drop).count()
+    assert res.count() == n_inputs
+
+
+def test_metrics_stream_counts(spark, tmp_path, corpus_df):
+    drop = str(tmp_path / "drop")
+    metrics = str(tmp_path / "metrics")
+    ckpt = str(tmp_path / "ckpt")
+    corpus_df.limit(200).write.mode("overwrite").parquet(drop)
+    _await(ingest.start_metrics_stream(spark, drop, metrics, ckpt, CFG))
+    rows = spark.read.parquet(metrics).collect()
+    assert sum(r.doc_count for r in rows) == 200
+    assert {r.payload_type for r in rows} == {"html", "pdf"}
+    assert "batch_id" in spark.read.parquet(metrics).columns
+
+
+def test_windowed_failure_counts_plan(spark, tmp_path, corpus_df):
+    """Watermarked windowed agg analyzes + runs on a streaming source."""
+    drop = str(tmp_path / "drop")
+    corpus_df.limit(50).write.mode("overwrite").parquet(drop)
+    pages = ingest.read_page_stream(spark, drop)
+    res = ingest.extract_stream(pages, CFG)
+    joined = pages.select("url", "warc_ts").join(res.select("url", "ok"), "url")
+    windowed = ingest.windowed_failure_counts(joined)
+    assert windowed.isStreaming
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("winfail")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    total = spark.sql("select sum(docs) d from winfail").collect()[0]
+    # append mode only emits closed windows; with availableNow the final
+    # watermark closes everything that arrived
+    assert total["d"] is None or total["d"] <= 50
