@@ -24,8 +24,7 @@ whatever blocks the tolerant parser can recover.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
-from html.parser import HTMLParser
+from html import unescape
 from typing import Any, Dict, List, Tuple
 
 # Subtrees whose character data is never content.
@@ -59,32 +58,78 @@ MAX_LINK_DENSITY = 0.35
 SHORT_RESCUE_CHARS = 8
 
 
-@dataclass
 class Block:
-    """One text block with the counters the classifier needs."""
+    """One text block with the counters the classifier needs.
 
-    tag: str = "p"
-    chars: List[str] = field(default_factory=list)
-    link_chars: int = 0
-    in_boiler: bool = False
+    ``text``/``link_density`` are computed once on first access and
+    cached — the classifier and extractor read them several times per
+    block, and the whitespace-normalization regex was a measurable
+    slice of kernel CPU when recomputed each read.
+    """
+
+    __slots__ = ("tag", "chars", "link_chars", "in_boiler", "_text", "_density")
+
+    def __init__(self, tag: str = "p", in_boiler: bool = False) -> None:
+        self.tag = tag
+        self.chars: List[str] = []
+        self.link_chars = 0
+        self.in_boiler = in_boiler
+        self._text: str | None = None
+        self._density: float | None = None
 
     @property
     def text(self) -> str:
-        return _WS.sub(" ", "".join(self.chars)).strip()
+        if self._text is None:
+            self._text = _WS.sub(" ", "".join(self.chars)).strip()
+        return self._text
 
     @property
     def link_density(self) -> float:
-        total = len("".join(self.chars).strip())
-        if total == 0:
-            return 0.0
-        return min(1.0, self.link_chars / total)
+        if self._density is None:
+            total = len("".join(self.chars).strip())
+            self._density = (
+                0.0 if total == 0 else min(1.0, self.link_chars / total)
+            )
+        return self._density
 
 
-class _BlockParser(HTMLParser):
-    """Tolerant HTML -> flat block list with link/boiler accounting."""
+# One-pass tokenizer: comments / CDATA / declarations / PIs skipped,
+# tags captured with (closing-slash, name, attrs, self-closing-slash).
+# Quoted attribute values may contain '>'.
+_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|$)"
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"
+    r"|<![^>]*>?"
+    r"|<\?[^>]*>?"
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9:_-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>",
+    re.DOTALL,
+)
+
+# class/id/role attribute extraction, only run when the attr text can
+# possibly carry a boilerplate marker.
+_MARK_ATTR_RE = re.compile(
+    r"(?:class|id|role)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]+)", re.IGNORECASE
+)
+
+# Elements whose raw content HTMLParser treats as CDATA: everything up
+# to the matching close tag is data, even if it contains '<'.
+_RAWTEXT = ("script", "style", "textarea", "title")
+_RAWTEXT_CLOSE = {t: re.compile(f"</{t}", re.IGNORECASE) for t in _RAWTEXT}
+
+
+class _BlockBuilder:
+    """Tag-event consumer -> flat block list with link/boiler accounting.
+
+    Same event semantics as the previous stdlib-HTMLParser version (the
+    regex tokenizer replaced it: stdlib per-tag dispatch was the hot
+    ~95% of extraction CPU at bench scale), so block output is
+    unchanged for well-formed input.
+    """
+
+    __slots__ = ("blocks", "_cur", "_skip_depth", "_boiler_depth",
+                 "_link_depth", "_tag_stack")
 
     def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
         self.blocks: List[Block] = []
         self._cur = Block()
         self._skip_depth = 0
@@ -98,16 +143,18 @@ class _BlockParser(HTMLParser):
         self._cur = Block(tag=next_tag, in_boiler=self._boiler_depth > 0)
 
     @staticmethod
-    def _is_boiler(attrs: List[Tuple[str, Any]]) -> bool:
-        for name, value in attrs:
-            if name in ("class", "id", "role") and value:
-                if _BOILER_ATTR.search(str(value).lower()):
-                    return True
+    def _is_boiler(attr_text: str) -> bool:
+        if not attr_text:
+            return False
+        for m in _MARK_ATTR_RE.finditer(attr_text):
+            value = m.group(1).strip("\"'").lower()
+            if _BOILER_ATTR.search(value):
+                return True
         return False
 
-    def handle_starttag(self, tag: str, attrs: List[Tuple[str, Any]]) -> None:
+    def start(self, tag: str, attr_text: str) -> None:
         skip = tag in SKIP_TAGS
-        boiler = self._is_boiler(attrs)
+        boiler = self._is_boiler(attr_text)
         self._tag_stack.append((tag, skip, boiler))
         if skip:
             self._skip_depth += 1
@@ -118,14 +165,14 @@ class _BlockParser(HTMLParser):
         if tag in BLOCK_TAGS:
             self._flush(next_tag=tag)
 
-    def handle_endtag(self, tag: str) -> None:
+    def end(self, tag: str) -> None:
         # Pop the nearest matching open tag (tolerates unclosed tags).
-        for i in range(len(self._tag_stack) - 1, -1, -1):
-            open_tag, skip, boiler = self._tag_stack[i]
-            if open_tag == tag:
+        stack = self._tag_stack
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i][0] == tag:
                 # Everything above i is implicitly closed.
-                for j in range(len(self._tag_stack) - 1, i - 1, -1):
-                    t, s, b = self._tag_stack.pop()
+                for _ in range(len(stack) - i):
+                    t, s, b = stack.pop()
                     if s:
                         self._skip_depth -= 1
                     if b:
@@ -136,35 +183,65 @@ class _BlockParser(HTMLParser):
         if tag in BLOCK_TAGS:
             self._flush()
 
-    def handle_startendtag(self, tag: str, attrs: List[Tuple[str, Any]]) -> None:
+    def startend(self, tag: str) -> None:
         if tag in BLOCK_TAGS:
             self._flush(next_tag=tag)
 
-    def handle_data(self, data: str) -> None:
-        if self._skip_depth > 0 or not data:
+    def data(self, raw: str) -> None:
+        if self._skip_depth > 0 or not raw:
             return
+        if "&" in raw:
+            raw = unescape(raw)
         if self._boiler_depth > 0:
             self._cur.in_boiler = True
-        self._cur.chars.append(data)
+        self._cur.chars.append(raw)
         if self._link_depth > 0:
-            self._cur.link_chars += len(data.strip())
-
-    def close(self) -> None:  # noqa: D102 - flush trailing block
-        super().close()
-        self._flush()
+            self._cur.link_chars += len(raw.strip())
 
 
 def parse_blocks(html_text: str) -> List[Block]:
-    """HTML string -> flat list of non-empty text blocks."""
-    parser = _BlockParser()
+    """HTML string -> flat list of non-empty text blocks (one regex pass)."""
+    b = _BlockBuilder()
     try:
-        parser.feed(html_text)
-        parser.close()
+        pos = 0
+        n = len(html_text)
+        while pos < n:
+            m = _TOKEN_RE.search(html_text, pos)
+            if m is None:
+                b.data(html_text[pos:])
+                break
+            if m.start() > pos:
+                b.data(html_text[pos:m.start()])
+            pos = m.end()
+            tag = m.group(2)
+            if tag is None:
+                continue  # comment / declaration / PI
+            tag = tag.lower()
+            if m.group(1):  # </tag>
+                b.end(tag)
+            else:
+                attr_text = m.group(3) or ""
+                if m.group(4):  # <tag/>
+                    b.startend(tag)
+                elif tag in _RAWTEXT:
+                    # consume raw content up to the matching close tag
+                    b.start(tag, attr_text)
+                    c = _RAWTEXT_CLOSE[tag].search(html_text, pos)
+                    if c is None:
+                        b.data(html_text[pos:])
+                        pos = n
+                    else:
+                        b.data(html_text[pos:c.start()])
+                        pos = html_text.find(">", c.start())
+                        pos = n if pos == -1 else pos + 1
+                        b.end(tag)
+                else:
+                    b.start(tag, attr_text)
+        b._flush()
     except Exception:
-        # html.parser is robust, but total determinism beats perfection:
-        # return whatever was flushed before the failure.
+        # total determinism beats perfection: return whatever flushed
         pass
-    return parser.blocks
+    return b.blocks
 
 
 def classify_blocks(blocks: List[Block]) -> List[bool]:

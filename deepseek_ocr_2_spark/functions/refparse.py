@@ -55,12 +55,31 @@ class RefMatch:
     text_content: str = ""
 
 
+# Fast path for the overwhelmingly common payload shape the model
+# emits: [[x1, y1, x2, y2], [..], ...] with plain non-negative ints.
+# Leading zeros are excluded (Python literals reject them, so the
+# reference's eval would too — those payloads must take the fallback).
+_INT = r"(?:0|[1-9]\d*)"
+_BOX = rf"\[\s*{_INT}\s*(?:,\s*{_INT}\s*)*\]"
+_INT_BOX_LIST = re.compile(rf"\s*\[\s*({_BOX}\s*(?:,\s*{_BOX}\s*)*)\]\s*$")
+_INT_BOX = re.compile(r"\[([^\[\]]*)\]")
+
+
 def parse_coords(coords_str: str) -> List[Any]:
     """Parse the det payload; failure yields ``[]`` (reference behavior).
 
     A non-list literal (e.g. a bare tuple) is wrapped in a single-element
     list, mirroring ``if not isinstance(coords, list): coords = [coords]``.
+    The int-box fast path avoids ``ast.literal_eval``'s compile() on the
+    shape the model actually emits; any other payload falls back to the
+    safe literal parser (identical results where both apply).
     """
+    m0 = _INT_BOX_LIST.fullmatch(coords_str)
+    if m0:
+        return [
+            [int(v) for v in m.group(1).split(",")]
+            for m in _INT_BOX.finditer(m0.group(1))
+        ]
     try:
         coords = ast.literal_eval(coords_str)
     except (ValueError, SyntaxError, MemoryError, RecursionError):

@@ -19,6 +19,7 @@ as a *cost model* for micro-batch packing inside the inference stage.
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 from typing import List, Tuple
 
 BASE_SIZE = 1024
@@ -29,6 +30,7 @@ PATCH_SIZE = 16
 DOWNSAMPLE_RATIO = 4
 
 
+@lru_cache(maxsize=64)
 def candidate_ratios(min_num: int = MIN_CROPS, max_num: int = MAX_CROPS) -> List[Tuple[int, int]]:
     """All (i, j) grids with min_num <= i*j <= max_num, sorted by area.
 

@@ -116,36 +116,57 @@ class ExtractConfig:
     decode_batch: DecodeBatchFn = field(default=stub_decode_batch)
 
 
-def _extract_html_row(url: str, payload: bytes, lang: Optional[str]) -> dict:
-    text, span_dicts = extract_main_content(payload)
-    spans = [
-        {
-            "id": s["id"],
-            "page_index": 0,
-            "type": s["type"],
-            "bbox_normalized": s["bbox_normalized"],
-            "bbox_pixels": s["bbox_pixels"],
-            "text": s["text"],
-        }
-        for s in span_dicts
-    ]
-    return {
-        "url": url,
-        "extracted_text": text,
-        "spans": spans,
-        "lang": lang,
-        "payload_type": "html",
-        "total_pages": 1,
-        "failed_pages": 0,
-        "est_visual_tokens": 0,
-        "ok": True,
-        "error": None,
-    }
+_COLUMNS = (
+    "url", "extracted_text", "spans", "lang", "payload_type",
+    "total_pages", "failed_pages", "est_visual_tokens", "ok", "error",
+)
+
+
+class _Out:
+    """Columnar accumulator: one list per output column.
+
+    Building 10 parallel lists and one dict-of-lists DataFrame per batch
+    is ~2x faster than a list of 10-key row dicts through
+    ``pd.DataFrame(rows)`` — this wrapper cost was half the kernel time
+    at bench scale.
+    """
+
+    __slots__ = _COLUMNS
+
+    def __init__(self) -> None:
+        for c in _COLUMNS:
+            setattr(self, c, [])
+
+    def add(self, url, extracted_text, spans, lang, payload_type,
+            total_pages, failed_pages, est_visual_tokens, ok, error) -> None:
+        self.url.append(url)
+        self.extracted_text.append(extracted_text)
+        self.spans.append(spans)
+        self.lang.append(lang)
+        self.payload_type.append(payload_type)
+        self.total_pages.append(total_pages)
+        self.failed_pages.append(failed_pages)
+        self.est_visual_tokens.append(est_visual_tokens)
+        self.ok.append(ok)
+        self.error.append(error)
+
+    def frame(self) -> pd.DataFrame:
+        return pd.DataFrame({c: getattr(self, c) for c in _COLUMNS})
+
+    def __len__(self) -> int:
+        return len(self.url)
+
+
+def _extract_html_row(out: _Out, url: str, payload: bytes, lang) -> None:
+    text, spans = extract_main_content(payload)
+    for s in spans:  # tag in place; extract_main_content builds fresh dicts
+        s["page_index"] = 0
+    out.add(url, text, spans, lang, "html", 1, 0, 0, True, None)
 
 
 def _extract_pdf_rows(
-    rows: List[tuple], cfg: ExtractConfig
-) -> List[dict]:
+    out: _Out, rows: List[tuple], cfg: ExtractConfig
+) -> None:
     """Decode + postprocess a batch of PDF docs; one output row per doc.
 
     All pages of every doc in the batch are flattened into one task list
@@ -177,23 +198,12 @@ def _extract_pdf_rows(
     for task, raw in decoded:
         doc_meta[task.url]["pages"].append((task, raw))
 
-    out = []
     for url, payload, lang in rows:
         meta = doc_meta[url]
         if meta["error"] is not None:
-            out.append(
-                {
-                    "url": url,
-                    "extracted_text": None,
-                    "spans": [],
-                    "lang": lang,
-                    "payload_type": "pdf",
-                    "total_pages": 0,
-                    "failed_pages": 0,
-                    "est_visual_tokens": 0,
-                    "ok": False,
-                    "error": f"payload_parse: {meta['error']}",
-                }
+            out.add(
+                url, None, [], lang, "pdf", 0, 0, 0, False,
+                f"payload_parse: {meta['error']}",
             )
             continue
         pages = sorted(meta["pages"], key=lambda tr: tr[0].page_index)
@@ -210,33 +220,23 @@ def _extract_pdf_rows(
                 continue
             md, elements = process_page(raw, task.width, task.height, task.page_index)
             markdowns.append(md)
-            for e in elements:
-                spans.append(
-                    {
-                        "id": e["id"],
-                        "page_index": task.page_index,
-                        "type": e["type"],
-                        "bbox_normalized": [int(v) for v in e["bbox_normalized"]],
-                        "bbox_pixels": [int(v) for v in e["bbox_pixels"]],
-                        "text": e["text"],
-                    }
-                )
+            for e in elements:  # tag in place; process_page builds fresh
+                # dicts with int bboxes (_coerce_bbox)
+                e["page_index"] = task.page_index
+                spans.append(e)
         ok = bool(markdowns) or not pages
-        out.append(
-            {
-                "url": url,
-                "extracted_text": cfg.page_separator.join(markdowns) if ok else None,
-                "spans": spans,
-                "lang": lang,
-                "payload_type": "pdf",
-                "total_pages": len(pages),
-                "failed_pages": failed,
-                "est_visual_tokens": est_tokens,
-                "ok": ok,
-                "error": None if ok else "no_complete_pages",
-            }
+        out.add(
+            url,
+            cfg.page_separator.join(markdowns) if ok else None,
+            spans,
+            lang,
+            "pdf",
+            len(pages),
+            failed,
+            est_tokens,
+            ok,
+            None if ok else "no_complete_pages",
         )
-    return out
 
 
 def make_extract_kernel(cfg: ExtractConfig):
@@ -244,18 +244,18 @@ def make_extract_kernel(cfg: ExtractConfig):
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            results: List[dict] = []
+            out = _Out()
             pdf_rows: List[tuple] = []
             for url, payload, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
                 payload = bytes(payload)
                 if payload.startswith(PDF_MAGIC):
                     pdf_rows.append((url, payload, lang))
                 else:
-                    results.append(_extract_html_row(url, payload, lang))
+                    _extract_html_row(out, url, payload, lang)
             if pdf_rows:
-                results.extend(_extract_pdf_rows(pdf_rows, cfg))
-            if results:
-                yield pd.DataFrame(results)
+                _extract_pdf_rows(out, pdf_rows, cfg)
+            if len(out):
+                yield out.frame()
 
     return kernel
 

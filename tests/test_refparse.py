@@ -178,3 +178,34 @@ class TestNonAscii:
         md, elements = process_page(text, 999, 999)
         assert elements[0]["text"] == body
         assert body in md
+
+
+class TestParseCoordsFastPath:
+    """The int-box fast path must be indistinguishable from literal_eval."""
+
+    def test_common_shapes(self):
+        from deepseek_ocr_2_spark.functions.refparse import parse_coords
+
+        assert parse_coords("[[1, 2, 3, 4], [5,6,7,8]]") == [[1, 2, 3, 4], [5, 6, 7, 8]]
+        assert parse_coords(" [ [1,2,3,4] ] ") == [[1, 2, 3, 4]]
+        assert parse_coords("[[0,2,3,4]]") == [[0, 2, 3, 4]]
+
+    def test_empty_and_nested_empty(self):
+        from deepseek_ocr_2_spark.functions.refparse import parse_coords
+
+        assert parse_coords("[]") == []
+        assert parse_coords("[[]]") == [[]]
+
+    def test_leading_zero_rejected_like_eval(self):
+        # Python literals reject leading zeros -> the reference's eval
+        # raises -> coords = []; the fast path must not "helpfully" parse.
+        from deepseek_ocr_2_spark.functions.refparse import parse_coords
+
+        assert parse_coords("[[01,2,3,4]]") == []
+
+    def test_fallback_shapes_still_work(self):
+        from deepseek_ocr_2_spark.functions.refparse import parse_coords
+
+        assert parse_coords("(1,2,3,4)") == [(1, 2, 3, 4)]
+        assert parse_coords("[[1.5,2,3,4]]") == [[1.5, 2, 3, 4]]
+        assert parse_coords("__import__('os')") == []
