@@ -112,6 +112,13 @@ def main() -> None:
             "extraction_wall_sec": round(wall, 3),
             "cpus": CPUS,
         }
+        # merge the latest two-parallelism scaling evidence if present
+        scaling_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json"
+        )
+        if os.path.exists(scaling_path):
+            with open(scaling_path) as f:
+                out["scaling"] = json.load(f)
         print(json.dumps(out))
     finally:
         shutil.rmtree(staging, ignore_errors=True)

@@ -252,6 +252,21 @@ multi-executor cluster unchanged.
 Raw: spark={json.dumps(spark_res)}
 ceiling={json.dumps(ceil_res)}
 """)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(
+            {
+                "levels": list(LEVELS),
+                "docs": n_docs,
+                "docs_per_sec": {str(c): round(tp[c], 1) for c in LEVELS},
+                "ceiling_docs_per_sec": {
+                    str(c): round(ctp[c], 1) for c in LEVELS
+                },
+                "raw_efficiency": round(eff, 3),
+                "machine_ceiling_efficiency": round(ceiling, 3),
+                "pipeline_efficiency_vs_ceiling": round(rel, 3),
+            },
+            f,
+        )
     print(
         f"wrote {out}: raw_eff={eff:.3f} ceiling={ceiling:.3f} rel={rel:.3f} "
         f"tp{lo}={tp[lo]:.0f} tp{hi}={tp[hi]:.0f}"
