@@ -104,6 +104,21 @@ def crop_ratio_for(
     return count_tiles(width, height, min_num, max_num, image_size)
 
 
+def resize_dims(
+    width: int, height: int, max_size: int = 4096
+) -> Tuple[int, int]:
+    """Dimension math of the reference's huge-payload guard (P6,
+    ``deepseek_ocr2_api/processors/image.py:132-164``): cap the max
+    dimension at ``max_size`` preserving aspect ratio (LANCZOS resample
+    happens behind the decode boundary; this is the pixel-free part the
+    cost model needs)."""
+    longest = max(width, height)
+    if longest <= max_size:
+        return width, height
+    scale = max_size / longest
+    return max(1, int(width * scale)), max(1, int(height * scale))
+
+
 def num_image_tokens(
     width: int,
     height: int,

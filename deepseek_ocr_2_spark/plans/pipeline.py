@@ -72,15 +72,27 @@ def _commit_manifest(output_dir: str, snapshots: List[dict]) -> None:
     os.replace(tmp, path)  # atomic commit point
 
 
-def committed_data_paths(output_dir: str) -> List[str]:
-    return [
-        os.path.join(output_dir, "data", f"snapshot={s['snapshot_id']}")
-        for s in read_manifest(output_dir)
-    ]
+def committed_data_paths(
+    output_dir: str, as_of: Optional[str] = None
+) -> List[str]:
+    """Data paths of committed snapshots; ``as_of`` (a snapshot id)
+    truncates history at that commit — Iceberg-style time travel."""
+    paths = []
+    for s in read_manifest(output_dir):
+        paths.append(
+            os.path.join(output_dir, "data", f"snapshot={s['snapshot_id']}")
+        )
+        if as_of is not None and s["snapshot_id"] == as_of:
+            return paths
+    if as_of is not None:
+        raise ValueError(f"unknown snapshot id: {as_of}")
+    return paths
 
 
-def committed_results(spark: SparkSession, output_dir: str) -> Optional[DataFrame]:
-    paths = committed_data_paths(output_dir)
+def committed_results(
+    spark: SparkSession, output_dir: str, as_of: Optional[str] = None
+) -> Optional[DataFrame]:
+    paths = committed_data_paths(output_dir, as_of)
     if not paths:
         return None
     return spark.read.parquet(*paths)

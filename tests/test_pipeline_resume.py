@@ -63,3 +63,18 @@ def test_metrics_lineage_rows(spark, tmp_path):
     assert len(rows) > 1  # genuinely per-partition
     assert sum(r.doc_count for r in rows) == snap.doc_count
     assert all(r.input_snapshot_id == "in-7" for r in rows)
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    out = str(tmp_path / "out")
+    pages = C.build_corpus(spark, SF_TINY)
+    snap1 = P.run_extraction(spark, pages.limit(40), out, CFG)
+    # second commit adds more urls
+    P.run_extraction(spark, pages.limit(90), out, CFG)
+
+    assert P.committed_results(spark, out).count() == 90
+    assert P.committed_results(spark, out, as_of=snap1.snapshot_id).count() == 40
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        P.committed_data_paths(out, as_of="nope")
