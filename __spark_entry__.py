@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk_orders": R.window_topk_orders_per_customer,
         "window_running_total": R.window_running_total,
         "window_lag_event_gaps": R.window_lag_event_gaps,
+        "sessionize_events": R.sessionize_events,
         "grouped_concat_lines": R.grouped_concat_lines,
         "setop_brands": R.setop_brands,
         "pagination_events": R.pagination_events,
@@ -103,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_exact_dedup": textops.fingerprint_exact_dedup,
         "lang_distribution": textops.lang_distribution,
         "lang_id_heuristic": textops.lang_id_heuristic,
+        "corpus_curation": textops.corpus_curation,
         # --- deduplication ---
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
@@ -130,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "window_topk_orders": R.window_topk_oracle(),
         "window_running_total": R.window_running_oracle(),
         "window_lag_event_gaps": R.window_lag_oracle(),
+        "sessionize_events": R.sessionize_oracle(),
         "grouped_concat_lines": R.grouped_concat_oracle(),
         "setop_brands": R.setop_oracle(),
         "pagination_events": R.pagination_oracle(),
@@ -140,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": textops.quality_score_oracle(),
         "fingerprint_exact_dedup": textops.fingerprint_oracle(),
         "lang_distribution": textops.lang_distribution_oracle(),
+        "corpus_curation": textops.corpus_curation_oracle(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_oracle(),
         "cosine_topk": simsearch.cosine_topk_oracle(),
         "knn_self_join": simsearch.knn_self_join_oracle(),

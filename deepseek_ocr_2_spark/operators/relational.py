@@ -410,6 +410,76 @@ def json_props_oracle() -> str:
     """
 
 
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a >30-minute silence starts a new
+    session (cumulative-sum-of-boundaries window pattern); returns
+    per-user session stats."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+                    > 1_800_000_000
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "timestampdiff(MICROSECOND, min(ts), max(ts))"
+            ).alias("duration_us"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("duration_us").alias("max_session_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def sessionize_oracle() -> str:
+    return """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM marked
+    ), per_session AS (
+      SELECT user_id, session_seq, COUNT(*) AS n_events,
+             epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+      FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+           MAX(duration_us) AS max_session_us
+    FROM per_session GROUP BY user_id ORDER BY user_id
+    """
+
+
 def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date truncation + aggregation (date-function coverage)."""
     orders = load(spark, sf_dir, "orders")

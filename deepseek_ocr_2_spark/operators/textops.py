@@ -133,6 +133,56 @@ def lang_distribution_oracle() -> str:
     """
 
 
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation filter — what this engine is
+    for: keep documents that (a) clear the quality floor, (b) are long
+    enough, (c) are the canonical survivor of their near-duplicate
+    group (anti-join the doc_b side of the exact 3-gram Jaccard pairs),
+    (d) are in an allowed language.  Fully oracle-verified end to end.
+    """
+    from .dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    quality = (
+        F.least(F.lit(1.0), n / F.lit(500.0)) + alpha / n
+    ) / F.lit(2.0)
+    dup_losers = ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    )
+    return (
+        docs.filter(n >= 100)
+        .filter(F.col("lang").isin("en", "de", "fr", "es", "zh"))
+        .withColumn("quality", F.round(quality, 6))
+        .filter(F.col("quality") >= 0.5)
+        .join(dup_losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "quality", n.alias("n_chars_actual"))
+        .orderBy("doc_id")
+    )
+
+
+def corpus_curation_oracle() -> str:
+    from .dedup import ngram_jaccard_oracle
+
+    return f"""
+    WITH dup_pairs AS ({ngram_jaccard_oracle()})
+    SELECT doc_id, lang,
+           ROUND((LEAST(1.0, length(text)/500.0)
+                  + length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))*1.0/length(text)
+                 ) / 2.0, 6) AS quality,
+           length(text) AS n_chars_actual
+    FROM documents
+    WHERE length(text) >= 100
+      AND lang IN ('en','de','fr','es','zh')
+      AND ROUND((LEAST(1.0, length(text)/500.0)
+                 + length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))*1.0/length(text)
+                ) / 2.0, 6) >= 0.5
+      AND doc_id NOT IN (SELECT doc_b FROM dup_pairs)
+    ORDER BY doc_id
+    """
+
+
 _LANG_ID_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
