@@ -112,6 +112,87 @@ def start_metrics_stream(
     )
 
 
+HOST_STATE_SCHEMA = "host STRING, docs_total LONG, failures_total LONG"
+HOST_OUTPUT_SCHEMA = (
+    "host STRING, batch_docs LONG, docs_total LONG, failures_total LONG"
+)
+
+
+def host_running_counters(results: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-host lifetime doc/failure counters.
+
+    The streaming analog of the reference's mutable per-task counters
+    (``task_manager.py:420,469,514``), rebuilt as
+    ``applyInPandasWithState``: state = (docs_total, failures_total)
+    per host, checkpointed with the query, updated incrementally per
+    micro-batch — survives restarts without reprocessing history.
+
+    Input: the streaming extraction results (must carry ``url``/``ok``).
+    Output: one row per (host, micro-batch) with batch delta + running
+    totals.
+    """
+    import pandas as pd  # local import keeps the worker closure light
+
+    def update(key, pdf_iter, state):
+        host = key[0]
+        docs = 0
+        failures = 0
+        for pdf in pdf_iter:
+            docs += len(pdf)
+            failures += int((~pdf["ok"]).sum())
+        if state.exists:
+            prev_docs, prev_failures = state.get[1], state.get[2]
+        else:
+            prev_docs, prev_failures = 0, 0
+        total_docs = prev_docs + docs
+        total_failures = prev_failures + failures
+        state.update((host, total_docs, total_failures))
+        yield pd.DataFrame(
+            {
+                "host": [host],
+                "batch_docs": [docs],
+                "docs_total": [total_docs],
+                "failures_total": [total_failures],
+            }
+        )
+
+    with_host = results.withColumn(
+        "host", F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)/", 1)
+    )
+    return with_host.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType=HOST_OUTPUT_SCHEMA,
+        stateStructType=HOST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def start_host_counter_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: Optional[ExtractConfig] = None,
+) -> StreamingQuery:
+    """Drop dir -> extraction -> stateful per-host counters -> parquet."""
+    results = extract_stream(read_page_stream(spark, drop_dir), cfg)
+    counters = host_running_counters(results)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(output_dir)
+
+    return (
+        counters.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_failure_counts(pages_with_results: DataFrame) -> DataFrame:
     """Event-time windowed failure rollup with a watermark (monitoring).
 

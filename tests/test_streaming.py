@@ -98,3 +98,40 @@ def test_windowed_failure_counts_plan(spark, tmp_path, corpus_df):
     # append mode only emits closed windows; with availableNow the final
     # watermark closes everything that arrived
     assert total["d"] is None or total["d"] <= 50
+
+
+def test_stateful_host_counters_survive_restart(spark, tmp_path, corpus_df):
+    """applyInPandasWithState: running totals persist across stream
+    restarts via the state store, counting each doc exactly once."""
+    drop = str(tmp_path / "drop")
+    out = str(tmp_path / "counters")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = corpus_df.limit(80)
+    first.write.mode("overwrite").parquet(drop)
+    _await(ingest.start_host_counter_stream(spark, drop, out, ckpt, CFG))
+    snap1 = spark.read.parquet(out)
+    total1 = (
+        snap1.groupBy("host").agg({"docs_total": "max"}).collect()
+    )
+    assert sum(r["max(docs_total)"] for r in total1) == 80
+
+    # more files land; restart from the same checkpoint: totals continue
+    corpus_df.limit(200).write.mode("append").parquet(drop)
+    _await(ingest.start_host_counter_stream(spark, drop, out, ckpt, CFG))
+    snap2 = spark.read.parquet(out)
+    total2 = snap2.groupBy("host").agg({"docs_total": "max"}).collect()
+    assert sum(r["max(docs_total)"] for r in total2) == 280
+    # failure totals match the batch pipeline's count on the same input
+    from pyspark.sql import functions as F
+
+    expect_failures = (
+        extract_pages(spark.read.parquet(drop), CFG, repartition=False)
+        .filter(~F.col("ok"))
+        .count()
+    )
+    got_failures = sum(
+        r["max(failures_total)"]
+        for r in snap2.groupBy("host").agg({"failures_total": "max"}).collect()
+    )
+    assert got_failures == expect_failures
