@@ -247,6 +247,11 @@ def make_extract_kernel(cfg: ExtractConfig):
             out = _Out()
             pdf_rows: List[tuple] = []
             for url, payload, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
+                if payload is None:
+                    # null payload: failure row, never a task kill
+                    out.add(url, None, [], lang, "html", 0, 0, 0, False,
+                            "null_payload")
+                    continue
                 payload = bytes(payload)
                 if payload.startswith(PDF_MAGIC):
                     pdf_rows.append((url, payload, lang))

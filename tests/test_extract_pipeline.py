@@ -150,3 +150,28 @@ def test_hot_host_is_salted_across_buckets(spark):
     one = keyed.filter(keyed.host != C.HOT_HOST).select("host", "bucket").distinct()
     per_host = one.groupBy("host").count().collect()
     assert all(r["count"] == 1 for r in per_host)
+
+
+def test_null_payload_yields_failure_row(spark):
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        BinaryType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("html", BinaryType()),
+        StructField("lang", StringType()),
+    ])
+    df = spark.createDataFrame(
+        [("https://x.org/a", None, "en"),
+         ("https://x.org/b", b"<p>hello world this is long enough to keep</p>", "en")],
+        schema,
+    )
+    res = {r.url: r for r in extract_pages(
+        df, ExtractConfig(num_buckets=2, hot_host_threshold=99), repartition=False
+    ).collect()}
+    assert not res["https://x.org/a"].ok
+    assert res["https://x.org/a"].error == "null_payload"
+    assert res["https://x.org/b"].ok
