@@ -40,8 +40,6 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
-from pyspark.sql.window import Window
-
 from ..functions import textstats
 from .relational import load
 
@@ -58,50 +56,78 @@ MAX_SHINGLE_DF = 50
 
 
 def _shingled(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) distinct word-3-gram pairs, all JVM-side."""
+    """(doc_id, shingle) distinct word-3-gram pairs, all JVM-side.
+
+    Shingles are built with an array ``transform`` over the token array
+    (one narrow projection) instead of posexplode + window LEAD — no
+    shuffle and no per-token row blow-up before the explode, which at
+    corpus scale is the difference between one pass and a sort."""
     toks = docs.select(
         "doc_id",
-        F.posexplode(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
-        ).alias("pos", "tok"),
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+        ).alias("t"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
     return (
-        toks.withColumn("t1", F.lead("tok", 1).over(w))
-        .withColumn("t2", F.lead("tok", 2).over(w))
-        .filter(F.col("t2").isNotNull())
+        toks.filter(F.size("t") >= 3)
         .select(
             "doc_id",
-            F.concat_ws(" ", "tok", "t1", "t2").alias("shingle"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t)-3),"
+                    " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+                )
+            ).alias("shingle"),
         )
         .distinct()
     )
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard >= 0.8 near-duplicate pairs (oracle-backed)."""
+    """Exact 3-gram Jaccard >= 0.8 near-duplicate pairs (oracle-backed).
+
+    Single-pass plan: the corpus is scanned ONCE — shingles group by
+    shingle key (one shuffle); per-doc shingle counts AND candidate
+    pairs both derive from that grouped frame, so nothing re-reads the
+    input.  (The naive counts/df-filter/self-join formulation scanned
+    and re-shingled the corpus six times — Catalyst does not reuse
+    uncached subtrees across different shuffle keys.)  Pairs come from
+    exploding C(k,2) combinations inside each <=MAX_SHINGLE_DF posting
+    list — the standard inverted-index formulation.
+    """
+    from pyspark.storagelevel import StorageLevel
+
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     sh = _shingled(docs)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    rare = sh.join(
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("shingle"),
-        "shingle",
+    # persist the posting lists: counts and pairs both read them, and
+    # Catalyst does not reuse the exchange across the two aggregation
+    # keys.  (At warehouse scale this is a materialized intermediate
+    # table; MEMORY_AND_DISK gives the same single-computation shape.)
+    grouped = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    counts = (
+        grouped.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
     )
-    a = rare.alias("a")
-    b = rare.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    pairs = (
+        grouped.filter(
+            (F.size("ds") >= 2) & (F.size("ds") <= MAX_SHINGLE_DF)
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(slice(ds, i + 2, size(ds)),"
+                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select("p.doc_a", "p.doc_b")
+    )
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("inter")
     )
     ca = counts.select(
         F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")
