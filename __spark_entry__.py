@@ -75,6 +75,18 @@ def _payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.payload_features(build_corpus(spark, sf_dir)).orderBy("url")
 
 
+def _resized_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.resized_page_metadata(build_corpus(spark, sf_dir)).orderBy(
+        "url", "page_index"
+    )
+
+
+def _frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.frame_sample(build_corpus(spark, sf_dir)).orderBy(
+        "url", "frame_index"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: Common-Crawl-style corpus -> extraction at sf0.001."""
     return _extraction_flagship(spark, "/root/testdata/sf0.001")
@@ -119,6 +131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_metrics": _extraction_metrics,
         "multimodal_page_metadata": _page_metadata,
         "multimodal_payload_features": _payload_features,
+        "multimodal_resize_plan": _resized_meta,
+        "multimodal_frame_sample": _frame_sample,
     }
 
 

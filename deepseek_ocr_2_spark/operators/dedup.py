@@ -234,9 +234,12 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The verify join re-reads only candidate docs' token sets — at scale
     this is the cheap step (candidates << pairs).
     """
+    from pyspark.storagelevel import StorageLevel
+
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     cands = minhash_lsh_candidates(spark, sf_dir)
-    sh = _shingled(docs)
+    # shingle sets are read by both sides of the verify join
+    sh = _shingled(docs).persist(StorageLevel.MEMORY_AND_DISK)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("db2"), F.col("shingle").alias("sh_b"))

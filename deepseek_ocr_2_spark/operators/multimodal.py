@@ -88,6 +88,112 @@ def page_metadata(pages: DataFrame) -> DataFrame:
     return narrow.mapInPandas(run, schema=PAGE_META_SCHEMA)
 
 
+RESIZED_META_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("page_index", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("resized_w", IntegerType(), False),
+        StructField("resized_h", IntegerType(), False),
+        StructField("was_capped", StringType(), False),
+    ]
+)
+
+
+def resized_page_metadata(pages: DataFrame, max_size: int = 4096) -> DataFrame:
+    """Resize plumbing: target dims per page under the huge-payload
+    guard (``resize_dims``, reference P6).  The pixel resample itself
+    runs behind the decode boundary; geometry is decided here so the
+    cost model sees post-resize dims."""
+    from ..functions.tiling import resize_dims
+
+    meta = page_metadata(pages)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rw, rh, capped = [], [], []
+            for w, h in zip(pdf["width"], pdf["height"]):
+                a, b = resize_dims(int(w), int(h), max_size)
+                rw.append(a)
+                rh.append(b)
+                capped.append("yes" if (a, b) != (w, h) else "no")
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "page_index": pdf["page_index"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "resized_w": rw,
+                    "resized_h": rh,
+                    "was_capped": capped,
+                }
+            )
+
+    return meta.select(
+        "url", "page_index", "width", "height"
+    ).mapInPandas(run, schema=RESIZED_META_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("frame_index", IntegerType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("frame_feature", ArrayType(IntegerType()), False),
+    ]
+)
+
+
+def frame_sample(
+    pages: DataFrame, max_frames: int = 4, dim: int = 8
+) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads.
+
+    Treats each PDF-stub payload's pages as the frame sequence (the
+    container ships no video codec — the *sampling* policy, batch
+    shape, and schema are the real artifact): deterministic uniform
+    stride down to ``max_frames`` frames, a byte-sketch feature per
+    sampled frame standing in for the decoded-frame featurizer.
+    """
+    narrow = pages.select("url", "html")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                blob = bytes(blob)
+                if not blob.startswith(PDF_MAGIC):
+                    continue
+                try:
+                    doc = json.loads(blob[len(PDF_MAGIC):])
+                except json.JSONDecodeError:
+                    continue
+                frames = doc.get("pages", [])
+                n = len(frames)
+                if n == 0:
+                    continue
+                k = min(max_frames, n)
+                # uniform deterministic stride: indices i*n//k
+                for j in range(k):
+                    idx = j * n // k
+                    payload = frames[idx]["raw_output"].encode("utf-8")
+                    rows.append(
+                        {
+                            "url": url,
+                            "frame_index": idx,
+                            "n_frames": n,
+                            "frame_feature": deterministic_fake_features(
+                                payload, dim
+                            ),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return narrow.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+
+
 FEATURE_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),
