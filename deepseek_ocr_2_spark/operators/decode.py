@@ -99,33 +99,108 @@ def stub_decode_batch(tasks: Sequence[PageTask]) -> List[str]:
     return [t.payload["raw_output"] for t in tasks]
 
 
+# Reference decode configuration (values verified against
+# deepseek_ocr2_api/config.py and DeepSeek-OCR2-vllm/config.py —
+# config constants, no code):
+VLLM_MODEL_PATH_ENV = "DEEPSEEK_OCR2_MODEL_PATH"
+VLLM_DEFAULT_MODEL = "deepseek-ai/DeepSeek-OCR-2"
+VLLM_PROMPT = "<image>\n<|grounding|>Convert the document to markdown."
+VLLM_MAX_MODEL_LEN = 8192       # config.py:74-78
+VLLM_MAX_TOKENS = 8192
+VLLM_TEMPERATURE = 0.0          # config.py:144-149 (deterministic)
+VLLM_BLOCK_SIZE = 256           # engine/manager.py:144-153
+VLLM_GPU_MEM_UTIL = 0.9
+VLLM_MAX_NUM_SEQS = 100         # continuous-batching ceiling
+NGRAM_SIZE = 20                 # config.py:155-164
+NGRAM_WINDOW_PDF = 50           # routers/ocr.py:311 (PDF path)
+NGRAM_WHITELIST = (128821, 128822)  # <td>/</td>, config.py:291-301
+EOS_STRING = "<｜end▁of▁sentence｜>"
+
 _VLLM_ENGINE = None
 
 
-def vllm_decode_batch(tasks: Sequence[PageTask]) -> List[str]:
-    """Real GPU decode path (guarded import; per-executor singleton).
-
-    Engine parameters mirror the reference
-    (``deepseek_ocr2_api/engine/manager.py:144-155``): block_size=256,
-    gpu_memory_utilization=0.9, max_model_len=8192; sampling mirrors
-    ``engine/inference.py:212-263``: temperature=0.0, max_tokens=8192,
-    the windowed NoRepeatNGram logits processor (window 50 for PDF),
-    include_stop_str_in_output=True.  The per-executor singleton is the
-    standard Spark GPU-inference pattern (one engine per python worker,
-    lazily created on first batch — reference C4 analog).
-    """
+def _get_vllm_engine():  # pragma: no cover - requires GPU + weights
+    """Per-executor singleton (reference C4 analog: one engine per
+    python worker, lazily created on the first micro-batch — the
+    standard Spark GPU-inference pattern)."""
     global _VLLM_ENGINE
-    try:
-        from vllm import LLM, SamplingParams  # type: ignore
-    except ImportError as exc:  # pragma: no cover - no GPU in CI
+    if _VLLM_ENGINE is None:
+        import os
+
+        from vllm import LLM  # type: ignore
+
+        _VLLM_ENGINE = LLM(
+            model=os.environ.get(VLLM_MODEL_PATH_ENV, VLLM_DEFAULT_MODEL),
+            trust_remote_code=True,
+            max_model_len=VLLM_MAX_MODEL_LEN,
+            max_num_seqs=VLLM_MAX_NUM_SEQS,
+            block_size=VLLM_BLOCK_SIZE,
+            gpu_memory_utilization=VLLM_GPU_MEM_UTIL,
+            enforce_eager=False,
+            dtype="bfloat16",
+            disable_mm_preprocessor_cache=True,  # config.py:97-100
+        )
+    return _VLLM_ENGINE
+
+
+def vllm_decode_batch(tasks: Sequence[PageTask]) -> List[str]:
+    """Real GPU decode path (import-guarded; exercised only where
+    torch/vLLM and DeepSeek-OCR-2 weights exist — not in this CI).
+
+    Engine parameters mirror ``deepseek_ocr2_api/engine/manager.py:
+    144-155``; sampling mirrors ``engine/inference.py:212-263``
+    (greedy, max_tokens=8192, windowed NoRepeatNGram with the td/td
+    whitelist, stop string kept in the output so the EOS filter and
+    postprocess see it — ``include_stop_str_in_output=True``).
+
+    Each task's ``payload['image_bytes']`` carries the rasterized page
+    (PNG/JPEG); decode + the reference's preprocessing (EXIF transpose,
+    resize guard, tiling) run in the model's own processor via
+    ``trust_remote_code``.
+    """
+    try:  # pragma: no cover - requires GPU + weights
+        import io
+
+        from PIL import Image, ImageOps  # type: ignore
+        from vllm import SamplingParams  # type: ignore
+    except ImportError as exc:
         raise NotImplementedError(
-            "vllm/torch not available in this environment; "
-            "use stub_decode_batch"
+            "vllm/torch/PIL not available in this environment; "
+            "use stub_decode_batch (the CI path)"
         ) from exc
-    raise NotImplementedError(  # pragma: no cover - requires model weights
-        "vLLM decode path requires DeepSeek-OCR-2 weights and a GPU; "
-        "wire model_path via ExtractConfig.decoder_options"
+
+    engine = _get_vllm_engine()  # pragma: no cover
+
+    def _ban_repeats(token_ids, logits):  # pragma: no cover
+        # vLLM logits-processor signature; same math as the pure kernel
+        from ..functions.ngram import banned_next_tokens
+
+        banned = banned_next_tokens(
+            token_ids,
+            ngram_size=NGRAM_SIZE,
+            window_size=NGRAM_WINDOW_PDF,
+            whitelist_token_ids=frozenset(NGRAM_WHITELIST),
+        )
+        for tok in banned:
+            logits[tok] = float("-inf")
+        return logits
+
+    sampling = SamplingParams(  # pragma: no cover
+        temperature=VLLM_TEMPERATURE,
+        max_tokens=VLLM_MAX_TOKENS,
+        stop=[EOS_STRING],
+        include_stop_str_in_output=True,
+        logits_processors=[_ban_repeats],
     )
+    inputs = []  # pragma: no cover
+    for t in tasks:  # pragma: no cover
+        img = Image.open(io.BytesIO(t.payload["image_bytes"]))
+        img = ImageOps.exif_transpose(img).convert("RGB")
+        inputs.append(
+            {"prompt": VLLM_PROMPT, "multi_modal_data": {"image": img}}
+        )
+    outputs = engine.generate(inputs, sampling)  # pragma: no cover
+    return [o.outputs[0].text for o in outputs]  # pragma: no cover
 
 
 def decode_pages(
