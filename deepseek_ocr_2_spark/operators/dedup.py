@@ -208,9 +208,15 @@ def _minhash_bands_df(docs: DataFrame) -> DataFrame:
 
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH band-bucket candidate pairs (shuffle key = band hash)."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    bands = _minhash_bands_df(docs).select(
-        "doc_id", F.explode("bands").alias("band_key")
+    # persist: both sides of the band self-join read this, and the
+    # signature kernel (the expensive stage) must run once, not twice
+    bands = (
+        _minhash_bands_df(docs)
+        .select("doc_id", F.explode("bands").alias("band_key"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = bands.alias("a")
     b = bands.alias("b")
