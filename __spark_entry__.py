@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": textops.lang_distribution,
         "lang_id_heuristic": textops.lang_id_heuristic,
         "corpus_curation": textops.corpus_curation,
+        "winnow_fingerprints": textops.winnow_fingerprints,
         # --- deduplication ---
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,

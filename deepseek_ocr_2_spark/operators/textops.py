@@ -183,6 +183,44 @@ def corpus_curation_oracle() -> str:
     """
 
 
+_WINNOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_windows", LongType(), False),
+        StructField("n_fingerprints", LongType(), False),
+        StructField("min_fingerprint", StringType(), True),
+    ]
+)
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via Karp-Rabin rolling hashes + winnowing
+    (Schleimer et al. 2003) — the copy-detection fingerprint set, as an
+    Arrow-batched stage over the documents table (rows-only check: the
+    rolling-hash recurrence is not SQL-expressible)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hashes = textstats.rolling_hashes(text or "")
+                fps = textstats.winnow(hashes)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_windows": len(hashes),
+                        "n_fingerprints": len(fps),
+                        "min_fingerprint": (
+                            format(min(fps), "016x") if fps else None
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(run, schema=_WINNOW_SCHEMA)
+
+
 _LANG_ID_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),

@@ -66,6 +66,16 @@ GOLDEN_TEXTS = [
     "no eos marker at all",
     _ref("text", "(1,2,3,4)", "tuple payload") + EOS_TOKEN,
     _ref("sub_title", "[[100, 200, 300, 400]]", f"body {EOS_TOKEN} trail"),
+    # coordinate fast-path edge cases (must match the reference's
+    # eval-based parser exactly — see refparse.parse_coords):
+    _ref("text", "[[01,2,3,4]]", "leading zero -> eval SyntaxError -> []")
+    + EOS_TOKEN,
+    _ref("text", " [ [1,2,3,4] , [5,6,7,8] ] ", "spacey int boxes")
+    + EOS_TOKEN,
+    _ref("text", "[]", "empty list payload") + EOS_TOKEN,
+    _ref("text", "[[]]", "nested empty payload") + EOS_TOKEN,
+    _ref("text", "[[1.5,2,3,4]]", "float coords fall back") + EOS_TOKEN,
+    _ref("text", "[[0,0,0,0]]", "zero box") + EOS_TOKEN,
 ]
 
 
