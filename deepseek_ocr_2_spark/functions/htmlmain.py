@@ -105,10 +105,13 @@ _TOKEN_RE = re.compile(
     re.DOTALL,
 )
 
-# class/id/role attribute extraction, only run when the attr text can
-# possibly carry a boilerplate marker.
+# class/id/role attribute extraction.  The attribute NAME must be
+# exactly class/id/role (preceded by whitespace/start) — a bare
+# substring match would also hit data-track-id / data-testid etc. and
+# falsely boilerplate real content.
 _MARK_ATTR_RE = re.compile(
-    r"(?:class|id|role)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]+)", re.IGNORECASE
+    r"(?:^|\s)(?:class|id|role)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]+)",
+    re.IGNORECASE,
 )
 
 # Elements whose raw content HTMLParser treats as CDATA: everything up

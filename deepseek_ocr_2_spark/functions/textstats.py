@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from functools import lru_cache
 from typing import Dict, Iterable, List, Sequence, Tuple
 
 import numpy as np
@@ -144,9 +145,12 @@ def _hash32(value: str) -> int:
 _MERSENNE = (1 << 61) - 1
 
 
+@lru_cache(maxsize=16)
 def _perm_params(num_perm: int, seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
     """(a, b) with a,b < 2^31 so a*x+b < 2^63 for 32-bit x — the whole
-    (a*x+b) mod p computation stays exact inside uint64."""
+    (a*x+b) mod p computation stays exact inside uint64.  Cached: a
+    pure function of (num_perm, seed) called once per document in the
+    signature hot loop."""
     rng = np.random.RandomState(seed)
     a = rng.randint(1, 1 << 31, size=num_perm, dtype=np.uint64)
     b = rng.randint(0, 1 << 31, size=num_perm, dtype=np.uint64)

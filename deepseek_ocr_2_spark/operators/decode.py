@@ -60,20 +60,33 @@ DecodeBatchFn = Callable[[Sequence[PageTask]], List[str]]
 
 
 def parse_pdf_payload(blob: bytes) -> List[PageTask]:
-    """``%PDF-STUB1`` payload -> page tasks (url filled by the caller)."""
+    """``%PDF-STUB1`` payload -> page tasks (url filled by the caller).
+
+    Raises ``ValueError`` on any malformed page (non-string raw_output,
+    missing/non-numeric dims) so the caller can emit a failure row —
+    malformed payloads must never escape as task-killing TypeErrors.
+    """
     if not blob.startswith(PDF_MAGIC):
         raise ValueError("not a stub PDF payload")
-    doc = json.loads(blob[len(PDF_MAGIC):].decode("utf-8"))
-    return [
-        PageTask(
-            url="",
-            page_index=i,
-            width=int(p["width"]),
-            height=int(p["height"]),
-            payload={"raw_output": p["raw_output"]},
+    try:
+        doc = json.loads(blob[len(PDF_MAGIC):].decode("utf-8"))
+    except UnicodeDecodeError as exc:
+        raise ValueError(f"undecodable payload body: {exc}") from exc
+    tasks = []
+    for i, p in enumerate(doc.get("pages", [])):
+        raw = p["raw_output"]
+        if not isinstance(raw, str):
+            raise ValueError(f"page {i}: raw_output is {type(raw).__name__}")
+        tasks.append(
+            PageTask(
+                url="",
+                page_index=i,
+                width=int(p["width"]),
+                height=int(p["height"]),
+                payload={"raw_output": raw},
+            )
         )
-        for i, p in enumerate(doc.get("pages", []))
-    ]
+    return tasks
 
 
 def pack_micro_batches(

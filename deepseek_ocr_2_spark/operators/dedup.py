@@ -176,7 +176,7 @@ def ngram_jaccard_oracle() -> str:
     FROM pairs p
     JOIN counts ca ON p.doc_a = ca.doc_id
     JOIN counts cb ON p.doc_b = cb.doc_id
-    WHERE p.inter*1.0/(ca.n + cb.n - p.inter) >= {JACCARD_THRESHOLD}
+    WHERE ROUND(p.inter*1.0/(ca.n + cb.n - p.inter), 6) >= {JACCARD_THRESHOLD}
     ORDER BY doc_a, doc_b
     """
 
@@ -192,16 +192,24 @@ _SIG_SCHEMA = StructType(
 def _minhash_bands_df(docs: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            ids: List[int] = []
             out_bands: List[List[str]] = []
-            for text in pdf["text"]:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = textstats.tokenize(text or "")
+                if len(toks) < SHINGLE_K:
+                    # below dedup resolution: same universe as the
+                    # exact-shingle verify stage (which requires >=k
+                    # tokens), and keeps the n empty/near-empty docs
+                    # from all sharing one sentinel bucket (a C(n,2)
+                    # candidate blowup)
+                    continue
                 sig = textstats.minhash_signature(
                     toks, num_perm=NUM_PERM, k=SHINGLE_K
                 )
+                ids.append(int(doc_id))
                 out_bands.append(textstats.minhash_bands(sig, bands=BANDS))
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].astype("int64"), "bands": out_bands}
-            )
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "bands": out_bands})
 
     return docs.mapInPandas(run, schema=_SIG_SCHEMA)
 

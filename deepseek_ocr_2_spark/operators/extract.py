@@ -60,6 +60,7 @@ from ..functions.htmlmain import extract_main_content
 from ..functions.refparse import has_eos
 from .decode import (
     DEFAULT_MAX_BATCH_VISUAL_TOKENS,
+    PDF_MAGIC,
     DecodeBatchFn,
     PageTask,
     decode_pages,
@@ -67,7 +68,9 @@ from .decode import (
     stub_decode_batch,
 )
 
-PDF_MAGIC = b"%PDF-STUB1\n"
+# Scheme-relative-tolerant authority extraction: no trailing slash
+# required (path-less urls are common), authority ends at /, ?, or #.
+HOST_REGEX = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)"
 
 SPAN_STRUCT = StructType(
     [
@@ -174,19 +177,23 @@ def _extract_pdf_rows(
     are short — the Spark analog of vLLM continuous batching across
     requests (``engine/inference.py:390-414``).
     """
+    # Docs are tracked by ROW index, not url: the input table does not
+    # guarantee url uniqueness (re-crawls), and keying by url would
+    # merge two rows' pages into both outputs.  PageTask.url carries
+    # the row key through decode; the emitted row keeps the real url.
     tasks: List[PageTask] = []
     doc_meta = {}
-    for url, payload, lang in rows:
+    for ridx, (url, payload, lang) in enumerate(rows):
         try:
             pages = parse_pdf_payload(payload)
         except (ValueError, json.JSONDecodeError, KeyError, TypeError) as exc:
-            doc_meta[url] = {"lang": lang, "pages": [], "error": str(exc)}
+            doc_meta[ridx] = {"lang": lang, "pages": [], "error": str(exc)}
             continue
-        doc_meta[url] = {"lang": lang, "pages": [], "error": None}
+        doc_meta[ridx] = {"lang": lang, "pages": [], "error": None}
         for p in pages:
             tasks.append(
                 PageTask(
-                    url=url,
+                    url=str(ridx),
                     page_index=p.page_index,
                     width=p.width,
                     height=p.height,
@@ -196,10 +203,10 @@ def _extract_pdf_rows(
 
     decoded = decode_pages(tasks, cfg.decode_batch, cfg.max_batch_visual_tokens)
     for task, raw in decoded:
-        doc_meta[task.url]["pages"].append((task, raw))
+        doc_meta[int(task.url)]["pages"].append((task, raw))
 
-    for url, payload, lang in rows:
-        meta = doc_meta[url]
+    for ridx, (url, payload, lang) in enumerate(rows):
+        meta = doc_meta[ridx]
         if meta["error"] is not None:
             out.add(
                 url, None, [], lang, "pdf", 0, 0, 0, False,
@@ -274,7 +281,7 @@ def with_partition_key(
     when None it is derived from ``df`` itself via a pruned count.
     """
     df = df.withColumn(
-        "host", F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)/", 1)
+        "host", F.lower(F.regexp_extract(F.col("url"), HOST_REGEX, 1))
     )
     if cfg.static_hot_hosts is not None:
         is_hot = F.col("host").isin(list(cfg.static_hot_hosts))

@@ -60,28 +60,33 @@ def page_metadata(pages: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for url, blob in zip(pdf["url"], pdf["html"]):
+                if blob is None:
+                    continue
                 blob = bytes(blob)
                 if not blob.startswith(PDF_MAGIC):
                     continue
                 try:
                     doc = json.loads(blob[len(PDF_MAGIC):])
-                except json.JSONDecodeError:
+                    for i, p in enumerate(doc.get("pages", [])):
+                        w, h = int(p["width"]), int(p["height"])
+                        wt, ht = crop_ratio_for(w, h)
+                        rows.append(
+                            {
+                                "url": url,
+                                "page_index": i,
+                                "width": w,
+                                "height": h,
+                                "wtiles": wt,
+                                "htiles": ht,
+                                "est_visual_tokens": num_image_tokens(w, h),
+                                "payload_bytes": len(blob),
+                            }
+                        )
+                except (ValueError, TypeError, KeyError, AttributeError):
+                    # malformed payload: skip, never kill the task
+                    # (json.JSONDecodeError/UnicodeDecodeError are
+                    # ValueError subclasses)
                     continue
-                for i, p in enumerate(doc.get("pages", [])):
-                    w, h = int(p["width"]), int(p["height"])
-                    wt, ht = crop_ratio_for(w, h)
-                    rows.append(
-                        {
-                            "url": url,
-                            "page_index": i,
-                            "width": w,
-                            "height": h,
-                            "wtiles": wt,
-                            "htiles": ht,
-                            "est_visual_tokens": num_image_tokens(w, h),
-                            "payload_bytes": len(blob),
-                        }
-                    )
             if rows:
                 yield pd.DataFrame(rows)
 
@@ -162,32 +167,34 @@ def frame_sample(
         for pdf in batches:
             rows = []
             for url, blob in zip(pdf["url"], pdf["html"]):
+                if blob is None:
+                    continue
                 blob = bytes(blob)
                 if not blob.startswith(PDF_MAGIC):
                     continue
                 try:
                     doc = json.loads(blob[len(PDF_MAGIC):])
-                except json.JSONDecodeError:
-                    continue
-                frames = doc.get("pages", [])
-                n = len(frames)
-                if n == 0:
-                    continue
-                k = min(max_frames, n)
-                # uniform deterministic stride: indices i*n//k
-                for j in range(k):
-                    idx = j * n // k
-                    payload = frames[idx]["raw_output"].encode("utf-8")
-                    rows.append(
-                        {
-                            "url": url,
-                            "frame_index": idx,
-                            "n_frames": n,
-                            "frame_feature": deterministic_fake_features(
-                                payload, dim
-                            ),
-                        }
-                    )
+                    frames = doc.get("pages", [])
+                    n = len(frames)
+                    if n == 0:
+                        continue
+                    k = min(max_frames, n)
+                    # uniform deterministic stride: indices i*n//k
+                    for j in range(k):
+                        idx = j * n // k
+                        payload = frames[idx]["raw_output"].encode("utf-8")
+                        rows.append(
+                            {
+                                "url": url,
+                                "frame_index": idx,
+                                "n_frames": n,
+                                "frame_feature": deterministic_fake_features(
+                                    payload, dim
+                                ),
+                            }
+                        )
+                except (ValueError, TypeError, KeyError, AttributeError):
+                    continue  # malformed payload: skip, never kill
             if rows:
                 yield pd.DataFrame(rows)
 
@@ -236,6 +243,8 @@ def payload_features(pages: DataFrame, dim: int = 16) -> DataFrame:
         for pdf in batches:
             rows = []
             for url, blob in zip(pdf["url"], pdf["html"]):
+                if blob is None:
+                    continue
                 blob = bytes(blob)
                 modality = "pdf" if blob.startswith(PDF_MAGIC) else "html"
                 rows.append(

@@ -72,6 +72,33 @@ def _commit_manifest(output_dir: str, snapshots: List[dict]) -> None:
     os.replace(tmp, path)  # atomic commit point
 
 
+def _append_snapshot(output_dir: str, snap: dict, timeout_s: float = 60.0) -> None:
+    """Serialize read-modify-write of the manifest with an advisory
+    lockfile (O_CREAT|O_EXCL): without it, two concurrent committers
+    each read N snapshots and the second replace drops the first's
+    entry — the lost snapshot's data would become permanently
+    invisible.  (A real Iceberg catalog does this with optimistic
+    locking; the lockfile gives the same single-winner semantics on a
+    shared filesystem.)"""
+    lock = os.path.join(output_dir, "MANIFEST.lock")
+    deadline = time.time() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.time() > deadline:
+                raise TimeoutError(f"manifest lock held too long: {lock}")
+            time.sleep(0.05)
+    try:
+        snapshots = read_manifest(output_dir)
+        snapshots.append(snap)
+        _commit_manifest(output_dir, snapshots)
+    finally:
+        os.close(fd)
+        os.unlink(lock)
+
+
 def committed_data_paths(
     output_dir: str, as_of: Optional[str] = None
 ) -> List[str]:
@@ -166,7 +193,5 @@ def run_extraction(
         doc_count=int(totals["docs"] or 0),
         failure_count=int(totals["failures"] or 0),
     )
-    snapshots = read_manifest(output_dir)
-    snapshots.append(snap.__dict__)
-    _commit_manifest(output_dir, snapshots)
+    _append_snapshot(output_dir, snap.__dict__)
     return snap

@@ -49,8 +49,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions.refparse import EOS_TOKEN
-
-PDF_MAGIC = b"%PDF-STUB1\n"
+from ..operators.decode import PDF_MAGIC
 
 # doc_id % PDF_MOD < PDF_HITS -> PDF payload; else HTML.
 PDF_MOD = 4

@@ -156,8 +156,10 @@ def host_running_counters(results: DataFrame) -> DataFrame:
             }
         )
 
+    from ..operators.extract import HOST_REGEX
+
     with_host = results.withColumn(
-        "host", F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)/", 1)
+        "host", F.lower(F.regexp_extract(F.col("url"), HOST_REGEX, 1))
     )
     return with_host.groupBy("host").applyInPandasWithState(
         update,

@@ -175,3 +175,80 @@ def test_null_payload_yields_failure_row(spark):
     assert not res["https://x.org/a"].ok
     assert res["https://x.org/a"].error == "null_payload"
     assert res["https://x.org/b"].ok
+
+
+def test_duplicate_urls_not_merged(spark):
+    """Two rows with the same url must each extract their OWN payload."""
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    p1 = C.render_pdf_payload(4, "alpha " * 200)
+    p2 = C.render_pdf_payload(8, "bravo " * 200)
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("html", BinaryType()),
+        StructField("lang", StringType()),
+    ])
+    df = spark.createDataFrame(
+        [("https://dup.org/x", p1, "en"), ("https://dup.org/x", p2, "en")],
+        schema,
+    ).coalesce(1)
+    rows = extract_pages(
+        df, ExtractConfig(num_buckets=2, hot_host_threshold=99), repartition=False
+    ).collect()
+    assert len(rows) == 2
+    texts = sorted(r.extracted_text for r in rows)
+    assert texts[0] != texts[1]
+    assert "alpha" in texts[0] and "alpha" not in texts[1]
+    assert all("Document 4" in texts[0] or "Document 8" in t for t in texts)
+    for r in rows:
+        expect = kernel_golden(p1 if "alpha" in r.extracted_text else p2)
+        assert r.extracted_text == expect  # no page doubling
+
+
+def test_pathless_and_uppercase_scheme_urls_get_real_hosts(spark):
+    from deepseek_ocr_2_spark.operators.extract import with_partition_key
+
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("html", BinaryType()),
+        StructField("lang", StringType()),
+    ])
+    df = spark.createDataFrame(
+        [("https://pathless.example.com", b"<p>x</p>", "en"),
+         ("HTTPS://Upper.Example.com/a", b"<p>y</p>", "en"),
+         ("https://q.example.com?x=1", b"<p>z</p>", "en")],
+        schema,
+    )
+    hosts = {r.url: r.host for r in with_partition_key(
+        df, ExtractConfig(num_buckets=4, hot_host_threshold=99)
+    ).collect()}
+    assert hosts["https://pathless.example.com"] == "pathless.example.com"
+    assert hosts["HTTPS://Upper.Example.com/a"] == "upper.example.com"
+    assert hosts["https://q.example.com?x=1"] == "q.example.com"
+
+
+def test_malformed_pdf_pages_become_failure_rows(spark):
+    import json as j
+
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    bad1 = C.PDF_MAGIC + j.dumps(
+        {"pages": [{"width": 800, "height": 600, "raw_output": None}]}
+    ).encode()
+    bad2 = C.PDF_MAGIC + b"\xff\xfe not json"
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("html", BinaryType()),
+        StructField("lang", StringType()),
+    ])
+    df = spark.createDataFrame(
+        [("https://m.org/1", bad1, "en"), ("https://m.org/2", bad2, "en")],
+        schema,
+    )
+    rows = {r.url: r for r in extract_pages(
+        df, ExtractConfig(num_buckets=2, hot_host_threshold=99), repartition=False
+    ).collect()}
+    assert all(not r.ok for r in rows.values())
+    assert all(r.error.startswith("payload_parse") for r in rows.values())

@@ -135,3 +135,21 @@ class TestDeterminism:
         a = extract_main_content(ARTICLE)
         b = extract_main_content(ARTICLE)
         assert a == b
+
+
+def test_data_star_attrs_do_not_mark_boilerplate():
+    """data-track-id / data-testid must not be read as id= (substring
+    match regression in the regex tokenizer rewrite)."""
+    from deepseek_ocr_2_spark.functions.htmlmain import extract_main_content
+
+    body = "real article content that is definitely long enough to keep here"
+    html = (
+        f'<article data-track-id="promo-hero"><p>{body}</p></article>'
+        f'<div data-testid="cookie-banner"><p>{body} again and again ok</p></div>'
+    )
+    text, _ = extract_main_content(html)
+    assert body in text
+    # while a REAL id attribute with a boiler marker still drops content
+    html2 = f'<div id="cookie-banner"><p>{body}</p></div>'
+    text2, _ = extract_main_content(html2)
+    assert body not in text2
