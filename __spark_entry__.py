@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_top_revenue_orders": R.q3_top_revenue_orders,
         "q5_regional_revenue": R.q5_regional_revenue,
+        "q2_min_acctbal_supplier": R.q2_min_acctbal_supplier,
         "semi_join_order_status": R.semi_join_order_status,
         "anti_join_resume": R.anti_join_customers_without_orders,
         "window_topk_orders": R.window_topk_orders_per_customer,
@@ -142,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": R.q1_oracle(),
         "q3_top_revenue_orders": R.q3_oracle(),
         "q5_regional_revenue": R.q5_oracle(),
+        "q2_min_acctbal_supplier": R.q2_oracle(),
         "semi_join_order_status": R.semi_join_oracle(),
         "anti_join_resume": R.anti_join_oracle(),
         "window_topk_orders": R.window_topk_oracle(),

@@ -410,6 +410,52 @@ def json_props_oracle() -> str:
     """
 
 
+def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style correlated-min: per nation, the supplier(s) with
+    the minimum account balance (min-per-group via window, dims
+    broadcast)."""
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            "r_name",
+            _cents(F.col("s_acctbal")).alias("acctbal_cents"),
+        )
+    )
+    w = Window.partitionBy("n_name")
+    return (
+        joined.withColumn("min_cents", F.min("acctbal_cents").over(w))
+        .filter(F.col("acctbal_cents") == F.col("min_cents"))
+        .select("r_name", "n_name", "s_suppkey", "s_name", "acctbal_cents")
+        .orderBy("n_name", "s_suppkey")
+    )
+
+
+def q2_oracle() -> str:
+    return """
+    WITH joined AS (
+      SELECT s_suppkey, s_name, n_name, r_name,
+             CAST(ROUND(s_acctbal*100, 0) AS BIGINT) AS acctbal_cents
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    )
+    SELECT r_name, n_name, s_suppkey, s_name, acctbal_cents
+    FROM (SELECT *, MIN(acctbal_cents) OVER (PARTITION BY n_name) AS m
+          FROM joined) t
+    WHERE acctbal_cents = m
+    ORDER BY n_name, s_suppkey
+    """
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a >30-minute silence starts a new
     session (cumulative-sum-of-boundaries window pattern); returns
