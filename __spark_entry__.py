@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_order_counts": R.rollup_order_counts,
         "json_props_extract": R.json_props_extract,
         "orders_by_month": R.orders_by_month,
+        "percentile_order_values": R.percentile_order_values,
+        "sql_q1_via_views": R.sql_q1_via_views,
         # --- text analysis (training-data ops) ---
         "token_count": textops.token_count,
         "quality_score": textops.quality_score,
@@ -156,6 +158,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_order_counts": R.rollup_oracle(),
         "json_props_extract": R.json_props_oracle(),
         "orders_by_month": R.orders_by_month_oracle(),
+        "percentile_order_values": R.percentile_oracle(),
+        "sql_q1_via_views": R.sql_q1_oracle(),
         "token_count": textops.token_count_oracle(),
         "quality_score": textops.quality_score_oracle(),
         "fingerprint_exact_dedup": textops.fingerprint_oracle(),

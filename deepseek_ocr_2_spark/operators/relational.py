@@ -526,6 +526,74 @@ def sessionize_oracle() -> str:
     """
 
 
+def percentile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles over integer cents per status —
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    definition, and integer inputs keep the interpolation arithmetic
+    bit-identical."""
+    orders = load(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderstatus", _cents(F.col("o_totalprice")).alias("cents")
+    )
+    return (
+        cents.groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(cents, 0.5)").alias("p50"),
+            F.expr("percentile(cents, 0.9)").alias("p90"),
+            F.expr("percentile(cents, 0.99)").alias("p99"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def percentile_oracle() -> str:
+    return """
+    WITH c AS (SELECT o_orderstatus,
+                      CAST(ROUND(o_totalprice*100, 0) AS BIGINT) AS cents
+               FROM orders)
+    SELECT o_orderstatus,
+           quantile_cont(cents, 0.5) AS p50,
+           quantile_cont(cents, 0.9) AS p90,
+           quantile_cont(cents, 0.99) AS p99,
+           MIN(cents) AS min_cents,
+           MAX(cents) AS max_cents
+    FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """
+
+
+def sql_q1_via_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same Q1 aggregation expressed through ``spark.sql`` over
+    registered temp views — the SQL-string API surface."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS sum_base_price_cents,
+               COUNT(*) AS count_order
+        FROM v_lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+def sql_q1_oracle() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS sum_base_price_cents,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """
+
+
 def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date truncation + aggregation (date-function coverage)."""
     orders = load(spark, sf_dir, "orders")
