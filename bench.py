@@ -46,7 +46,7 @@ def build_session(cpus: int):
     )
 
 
-def time_extraction(spark, sf_dir: str, corpus_path: str) -> tuple[float, int]:
+def time_extraction(spark, corpus_path: str) -> tuple[float, int]:
     """Timed window: read staged corpus -> extract -> force all columns."""
     from pyspark.sql import functions as F
 
@@ -82,8 +82,8 @@ def main() -> None:
         build_corpus(spark, SF_DIR).write.mode("overwrite").parquet(corpus_path)
 
         # warm-up (JVM/codegen/Arrow), then the timed run
-        time_extraction(spark, SF_DIR, corpus_path)
-        wall, docs = time_extraction(spark, SF_DIR, corpus_path)
+        time_extraction(spark, corpus_path)
+        wall, docs = time_extraction(spark, corpus_path)
 
         queries = {}
         qs = entry.queries()
@@ -102,12 +102,16 @@ def main() -> None:
             queries[name] = round(time.time() - t0, 3)
         queries["extraction_sf"] = round(wall, 3)
 
+        try:
+            sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+        except ValueError:
+            sf = -1.0  # non-sf-named dir; never lose the results over it
         out = {
             "metric": "extracted_docs_per_sec",
             "value": round(docs / wall, 2),
             "unit": "docs/sec",
             "queries": queries,
-            "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+            "sf": sf,
             "docs": docs,
             "extraction_wall_sec": round(wall, 3),
             "cpus": CPUS,

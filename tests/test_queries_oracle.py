@@ -36,8 +36,10 @@ def canon(v):
 
 
 def rowset(cols, rows):
+    # tuples, not joined strings: a '|' inside a value must not let two
+    # different rows canonicalize identically
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
 @pytest.fixture(scope="module")

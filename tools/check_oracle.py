@@ -43,8 +43,10 @@ def canon(v):
 
 
 def rowset(cols, rows):
+    # tuples, not joined strings: a '|' inside a value must not let two
+    # different rows canonicalize identically
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
 def main():
@@ -77,8 +79,8 @@ def main():
         dt = time.time() - t0
         if name not in oracles:
             print(f"  {name}: rows-only, {len(srows)} rows  [{dt:.1f}s]")
-            if len(srows) == 0 and not name.startswith("anti"):
-                print(f"    WARNING: empty result")
+            if len(srows) == 0:
+                print("    WARNING: empty result")
             continue
         res = con.sql(oracles[name])
         ocols = [c for c in res.columns]
@@ -98,7 +100,7 @@ def main():
             failures.append(name)
             for a, b in list(zip(sset, oset))[:200]:
                 if a != b:
-                    print(f"    spark: {a}\n    duck : {b}")
+                    print(f"    spark: {'|'.join(a)}\n    duck : {'|'.join(b)}")
                     break
     print("FAILURES:", failures or "none")
     sys.exit(1 if failures else 0)

@@ -32,6 +32,14 @@ def main() -> None:
     ap.add_argument("--input-snapshot-id", default="input-0")
     ap.add_argument("--num-buckets", type=int, default=256)
     ap.add_argument("--hot-host-threshold", type=int, default=20)
+    ap.add_argument(
+        "--static-hot-hosts",
+        default=None,
+        help="comma-separated known-hot hosts; skips the per-job "
+        "host-count pass (reuse per-snapshot skew stats in production "
+        "— with a synthesized corpus the dynamic count re-runs the "
+        "generator a second time)",
+    )
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -53,6 +61,11 @@ def main() -> None:
     cfg = ExtractConfig(
         num_buckets=args.num_buckets,
         hot_host_threshold=args.hot_host_threshold,
+        static_hot_hosts=(
+            tuple(h.strip() for h in args.static_hot_hosts.split(","))
+            if args.static_hot_hosts
+            else None
+        ),
     )
     t0 = time.time()
     snap = run_extraction(
