@@ -252,3 +252,41 @@ def test_malformed_pdf_pages_become_failure_rows(spark):
     ).collect()}
     assert all(not r.ok for r in rows.values())
     assert all(r.error.startswith("payload_parse") for r in rows.values())
+
+
+def test_static_hot_hosts_config_salts_without_detection_pass(spark):
+    from deepseek_ocr_2_spark.operators.extract import with_partition_key
+
+    df = C.build_corpus(spark, SF_TINY)
+    cfg = ExtractConfig(
+        num_buckets=16, static_hot_hosts=(C.HOT_HOST,)
+    )
+    keyed = with_partition_key(df, cfg)
+    # no host-count aggregate in the plan (static list used instead)
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "count" not in plan.lower().split("hashaggregate")[0] or \
+        "HashAggregate" not in plan
+    hot_buckets = {
+        r.bucket for r in keyed.filter(keyed.host == C.HOT_HOST)
+        .select("bucket").distinct().collect()
+    }
+    assert len(hot_buckets) > 4  # salted
+    cold = keyed.filter(keyed.host != C.HOT_HOST).select("host", "bucket").distinct()
+    per_host = cold.groupBy("host").count().collect()
+    assert all(r["count"] == 1 for r in per_host)  # others co-located
+
+
+def test_all_hot_corpus_distributes_evenly(spark):
+    """Extreme skew: every row on one host; salting must spread it."""
+    from pyspark.sql import functions as F
+    from deepseek_ocr_2_spark.operators.extract import with_partition_key
+
+    df = C.build_corpus(spark, SF_TINY).withColumn(
+        "url",
+        F.concat(F.lit("https://only.example.com/"), F.col("doc_id").cast("string")),
+    )
+    cfg = ExtractConfig(num_buckets=16, static_hot_hosts=("only.example.com",))
+    keyed = with_partition_key(df, cfg)
+    counts = [r["count"] for r in keyed.groupBy("bucket").count().collect()]
+    assert len(counts) >= 12  # most buckets occupied
+    assert max(counts) < 4 * (sum(counts) / len(counts))  # no pile-up
