@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_total": R.window_running_total,
         "window_lag_event_gaps": R.window_lag_event_gaps,
         "sessionize_events": R.sessionize_events,
+        "asof_join_purchase_click": R.asof_join_purchase_click,
         "grouped_concat_lines": R.grouped_concat_lines,
         "setop_brands": R.setop_brands,
         "pagination_events": R.pagination_events,
@@ -152,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "window_running_total": R.window_running_oracle(),
         "window_lag_event_gaps": R.window_lag_oracle(),
         "sessionize_events": R.sessionize_oracle(),
+        "asof_join_purchase_click": R.asof_join_oracle(),
         "grouped_concat_lines": R.grouped_concat_oracle(),
         "setop_brands": R.setop_oracle(),
         "pagination_events": R.pagination_oracle(),

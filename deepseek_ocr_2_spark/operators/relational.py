@@ -526,6 +526,79 @@ def sessionize_oracle() -> str:
     """
 
 
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — an operator Spark lacks natively: each purchase
+    event matched to the user's most recent STRICTLY-prior click.
+
+    Implementation is the scale-correct union+window technique: tag
+    both sides, union, one shuffle on (user_id), sort within partition
+    by (ts, side) — side ordering makes the match strict at equal
+    timestamps — and carry the last-seen right row forward with
+    ``last(..., ignorenulls)``.  No range self-join, no per-key
+    explosion; cost is one sort per user partition.  Oracle: DuckDB's
+    native ``ASOF JOIN``.
+    """
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.lit(0).alias("is_right"),
+        F.lit(None).cast("long").alias("r_event_id"),
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("purchase_event_id"),
+        F.lit(1).alias("is_right"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    both = left.unionByName(right)
+    # at equal ts the left (0) sorts before the right (1), so an
+    # equal-ts click is NOT visible to the purchase -> strict '<'
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("is_right"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = both.select(
+        "user_id",
+        "ts",
+        "purchase_event_id",
+        "is_right",
+        F.last(
+            F.when(F.col("is_right") == 1, F.col("r_event_id")),
+            ignorenulls=True,
+        ).over(w).alias("click_event_id"),
+        F.last(
+            F.when(F.col("is_right") == 1, F.col("ts")),
+            ignorenulls=True,
+        ).over(w).alias("click_ts"),
+    )
+    return (
+        carried.filter(
+            (F.col("is_right") == 0) & F.col("click_event_id").isNotNull()
+        )
+        .withColumn(
+            "gap_us", F.expr("timestampdiff(MICROSECOND, click_ts, ts)")
+        )
+        .select("purchase_event_id", "user_id", "click_event_id", "gap_us")
+        .orderBy("purchase_event_id")
+    )
+
+
+def asof_join_oracle() -> str:
+    return """
+    SELECT a.event_id AS purchase_event_id, a.user_id,
+           b.event_id AS click_event_id,
+           epoch_us(a.ts) - epoch_us(b.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON a.user_id = b.user_id AND a.ts > b.ts
+    ORDER BY purchase_event_id
+    """
+
+
 def percentile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles over integer cents per status —
     Spark ``percentile`` and DuckDB ``quantile_cont`` share the
