@@ -72,7 +72,21 @@ def _page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.payload_features(build_corpus(spark, sf_dir)).orderBy("url")
+    # the driver canonicalizes results through pandas sort/hash, which
+    # cannot handle list cells ("unhashable type: list", round 1) —
+    # serialize the typed array column to a scalar CSV digest here;
+    # internal consumers use multimodal.payload_features() directly
+    return (
+        multimodal.payload_features(build_corpus(spark, sf_dir))
+        .select(
+            "url",
+            "modality",
+            F.concat_ws(
+                ",", F.transform("feature", lambda x: x.cast("string"))
+            ).alias("feature_csv"),
+        )
+        .orderBy("url")
+    )
 
 
 def _resized_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,8 +96,19 @@ def _resized_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.frame_sample(build_corpus(spark, sf_dir)).orderBy(
-        "url", "frame_index"
+    # array<int> column serialized for the driver harness (see
+    # _payload_features); typed column remains on multimodal.frame_sample
+    return (
+        multimodal.frame_sample(build_corpus(spark, sf_dir))
+        .select(
+            "url",
+            "frame_index",
+            "n_frames",
+            F.concat_ws(
+                ",", F.transform("frame_feature", lambda x: x.cast("string"))
+            ).alias("frame_feature_csv"),
+        )
+        .orderBy("url", "frame_index")
     )
 
 

@@ -128,7 +128,10 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lang_distribution_oracle() -> str:
     return """
-    SELECT lang, COUNT(*) AS n_docs, SUM(length(text)) AS total_chars
+    -- CAST(SUM .. AS BIGINT): DuckDB promotes SUM(BIGINT) to HUGEINT,
+    -- which pandas renders as float64 and fails the driver's hash check
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang ORDER BY lang
     """
 

@@ -1,8 +1,15 @@
 """Local replica of the driver's correctness gate.
 
 Runs every ``__spark_entry__.queries()`` entry at sf0.01 and compares
-against ``oracle_sql()`` via DuckDB: row count, column names, and an
-order-insensitive multiset compare of canonicalized values.
+against ``oracle_sql()`` via DuckDB — *through pandas on both sides*,
+mirroring the driver's semantics: the driver pulls the DuckDB result
+with ``.df()`` and the Spark result with ``toPandas()``, sorts columns
+by name, sorts rows, and hashes the frame.  Round 1 lesson (VERDICT
+"What's wrong" #1): DuckDB promotes SUM(BIGINT) to HUGEINT, which
+``.df()`` converts to float64 while Spark returns int64 — equal values,
+different dtypes, different hashes.  The old fetchall()+str() compare
+here could never see that class of bug; the pandas-dtype-sensitive
+canonicalization below can.
 
 Usage: python tools/check_oracle.py [name ...]
 """
@@ -16,6 +23,8 @@ import sys
 import time
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -27,26 +36,42 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 def canon(v):
+    """Dtype-sensitive canonical form: int64 and float64 of equal value
+    canonicalize DIFFERENTLY (``i:5`` vs ``f:5.0``), exactly as the
+    driver's pandas-frame hash treats them."""
     if v is None:
         return "∅"
-    if isinstance(v, bool):
-        return str(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return repr(round(v, 9))
+    if isinstance(v, (bool, np.bool_)):
+        return "b:" + str(bool(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "f:nan"
+        return "f:" + repr(f)
+    if isinstance(v, (int, np.integer)):
+        return "i:" + str(int(v))
+    if isinstance(v, pd.Timestamp):
+        return "t:" + v.isoformat()
     if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
+        return "t:" + v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(canon(x) for x in v) + "]"
-    return str(v)
+    if v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+        return "∅"
+    return "s:" + str(v)
 
 
-def rowset(cols, rows):
-    # tuples, not joined strings: a '|' inside a value must not let two
-    # different rows canonicalize identically
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+def frame_rowset(pdf: pd.DataFrame):
+    """Sorted-column, sorted-row tuple multiset of a pandas frame —
+    the same shape the driver hashes."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = [
+        tuple(canon(None if (isinstance(v, float) and pd.isna(v)) or v is pd.NaT or v is None else v)
+              for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    return sorted(rows)
 
 
 def main():
@@ -74,25 +99,34 @@ def main():
     for name in wanted:
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
-        srows = df.collect()
-        scols = df.columns
+        spdf = df.toPandas()
+        scols = list(spdf.columns)
         dt = time.time() - t0
         if name not in oracles:
-            print(f"  {name}: rows-only, {len(srows)} rows  [{dt:.1f}s]")
-            if len(srows) == 0:
+            # mirror the driver's rows-only path: it still canonicalizes
+            # (sort+hash) the frame, so unhashable cells (list columns)
+            # must error HERE, not in the driver (round-1 regression)
+            try:
+                frame_rowset(spdf)
+                note = ""
+            except TypeError as exc:
+                note = f"  CANON-ERROR: {exc}"
+            print(f"  {name}: rows-only, {len(spdf)} rows  [{dt:.1f}s]{note}")
+            if len(spdf) == 0:
                 print("    WARNING: empty result")
+            if note:
+                failures.append(name)
             continue
-        res = con.sql(oracles[name])
-        ocols = [c for c in res.columns]
-        orows = res.fetchall()
+        opdf = con.sql(oracles[name]).df()
+        ocols = list(opdf.columns)
         ok_cols = sorted(scols) == sorted(ocols)
-        ok_count = len(srows) == len(orows)
-        sset = rowset(scols, [[r[c] for c in scols] for r in srows])
-        oset = rowset(ocols, orows)
+        ok_count = len(spdf) == len(opdf)
+        sset = frame_rowset(spdf)
+        oset = frame_rowset(opdf) if ok_cols else []
         ok_vals = sset == oset
         status = "OK " if (ok_cols and ok_count and ok_vals) else "FAIL"
         print(
-            f"  {name}: {status} spark={len(srows)} duck={len(orows)} "
+            f"  {name}: {status} spark={len(spdf)} duck={len(opdf)} "
             f"cols={'=' if ok_cols else f'{scols} vs {ocols}'} "
             f"vals={'=' if ok_vals else 'DIFF'}  [{dt:.1f}s]"
         )
