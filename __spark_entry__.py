@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_self_join": simsearch.knn_self_join,
         "lsh_ann_topk": simsearch.lsh_ann_topk,
         "embedding_near_dup_pairs": simsearch.embedding_near_dup_pairs,
+        "embedding_near_dup_lsh": simsearch.embedding_near_dup_lsh,
         # --- the extraction pipeline itself ---
         "extraction_flagship": _extraction_flagship,
         "extraction_metrics": _extraction_metrics,
@@ -196,6 +197,10 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": simsearch.cosine_topk_oracle(),
         "knn_self_join": simsearch.knn_self_join_oracle(),
         "embedding_near_dup_pairs": simsearch.embedding_near_dup_oracle(),
+        # the LSH path's candidate set covers every >=threshold pair on
+        # the fixed-seed testdata (recall 1.0, pytest-gated), so the
+        # exact all-pairs SQL is a true oracle for it as well
+        "embedding_near_dup_lsh": simsearch.embedding_near_dup_oracle(),
         # lang_id_heuristic, minhash_lsh_dedup, simhash_near_dups,
         # lsh_ann_topk, extraction_* and multimodal_*: non-SQL kernels
         # (Python heuristics / LSH signatures / byte-exact extraction);

@@ -70,3 +70,120 @@ def test_ann_topk_overlaps_brute_force(spark):
     # found; require non-trivial recall on the test corpus.
     overlap = len(set(exact) & set(ann))
     assert overlap >= 3, f"ANN recall too low: {overlap}/10"
+
+
+def test_banded_lsh_near_dup_recall_is_total(spark):
+    """The registered scale path (embedding_near_dup_lsh) must return
+    exactly the exact all-pairs result at the default threshold on the
+    fixed-seed testdata — this equality is what licenses registering
+    the exact-pairs SQL as its DuckDB oracle."""
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in simsearch.embedding_near_dup_pairs(spark, SF_SMALL).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in simsearch.embedding_near_dup_lsh(spark, SF_SMALL).collect()
+    }
+    assert lsh == exact, (
+        f"missed={set(exact)-set(lsh)} invented={set(lsh)-set(exact)}"
+    )
+
+
+def test_banded_lsh_prunes_at_production_threshold(spark):
+    """At realistic near-dup thresholds (0.9) the band filter must do
+    real work: planted high-cosine pairs are all recovered while the
+    candidate set is a small fraction of all pairs.  (At the testdata's
+    0.35 threshold no LSH can prune — collision prob 0.61 vs the 0.5 of
+    random pairs — which is why this gate uses planted dups.)"""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal((600, 32))
+    dups = base[:60] + 0.12 * rng.standard_normal((60, 32))
+    mat = np.vstack([base, dups])
+    n = len(mat)
+    nrm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = nrm @ nrm.T
+    iu = np.triu_indices(n, 1)
+    thr = 0.9
+    truth = set(zip(iu[0][cos[iu] >= thr].tolist(), iu[1][cos[iu] >= thr].tolist()))
+    assert len(truth) >= 40, "planted dups must exist"
+
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    )
+    cand = {
+        (r.vec_a, r.vec_b)
+        for r in simsearch.lsh_candidate_pairs(emb, thr).collect()
+    }
+    missed = truth - cand
+    assert not missed, f"candidates missed true pairs: {missed}"
+    frac = len(cand) / len(iu[0])
+    assert frac < 0.10, f"no pruning: candidate fraction {frac:.3f}"
+
+
+def test_band_params_scale_with_threshold():
+    """Higher thresholds buy more bits per band (selectivity) at fixed
+    recall; every configuration keeps the design miss prob."""
+    import math
+
+    prev_k = 0
+    for t in (0.35, 0.6, 0.8, 0.9):
+        k, bands = simsearch.band_params(t)
+        p = 1.0 - math.acos(t) / math.pi
+        assert k >= prev_k
+        prev_k = k
+        assert (1.0 - p**k) ** bands <= 1.05e-5  # design recall holds
+    # and the pruning exponent actually improves: random pairs pass a
+    # band with 0.5^k, so expected candidate rate falls with threshold
+    k_low, L_low = simsearch.band_params(0.35)
+    k_hi, L_hi = simsearch.band_params(0.9)
+    rate_low = 1 - (1 - 0.5**k_low) ** L_low
+    rate_hi = 1 - (1 - 0.5**k_hi) ** L_hi
+    assert rate_hi < rate_low / 5
+
+
+def test_simhash_block_count_tracks_corpus_size():
+    """Key width must dominate log2(corpus): more blocks at larger n."""
+    small = dedup.simhash_block_count(500)
+    big = dedup.simhash_block_count(10**9)
+    huge = dedup.simhash_block_count(10**12)
+    assert small <= big <= huge
+    for n, nb in ((500, small), (10**9, big), (10**12, huge)):
+        keep = nb - 3
+        key_bits = 64 * keep // nb
+        import math
+        assert key_bits >= math.log2(n) + 8 or nb == 32
+
+
+def test_simhash_output_invariant_to_block_layout(spark):
+    """The block-combination index is exact (pigeonhole): ANY valid
+    n_blocks yields the identical verified pair set."""
+    base = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_near_dups(spark, SF_SMALL, n_blocks=4).collect()
+    }
+    wide = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_near_dups(spark, SF_SMALL, n_blocks=8).collect()
+    }
+    derived = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_near_dups(spark, SF_SMALL).collect()
+    }
+    assert base == wide == derived
+    assert len(base) > 0
+
+
+def test_release_caches_drops_tracked_blocks(spark):
+    """Persisted intermediates accumulate across dedup queries in a
+    long-lived session; release_caches() must drop every tracked one."""
+    from deepseek_ocr_2_spark.operators.cachereg import release_caches
+
+    release_caches()  # clean slate from earlier tests in this module
+    dedup.minhash_lsh_dedup(spark, SF_SMALL).count()
+    n = release_caches()
+    assert n >= 2  # bands + shingle sets
+    assert release_caches() == 0  # idempotent
