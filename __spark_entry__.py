@@ -51,6 +51,20 @@ def _extraction_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _extraction_raw_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference S8/F4: the raw pre-postprocess model output column,
+    config-gated (off by default — it roughly doubles output bytes)."""
+    from dataclasses import replace
+
+    cfg = replace(_EXTRACT_CFG, include_raw_output=True)
+    res = extract_pages(build_corpus(spark, sf_dir), cfg)
+    return (
+        res.filter(F.col("payload_type") == "pdf")
+        .select("url", "raw_output", "total_pages", "failed_pages")
+        .orderBy("url")
+    )
+
+
 def _extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = _extraction_results(spark, sf_dir)
     return (
@@ -147,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_heuristic": textops.lang_id_heuristic,
         "corpus_curation": textops.corpus_curation,
         "winnow_fingerprints": textops.winnow_fingerprints,
+        "winnow_window_counts": textops.winnow_window_counts,
         # --- deduplication ---
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
@@ -160,6 +175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- the extraction pipeline itself ---
         "extraction_flagship": _extraction_flagship,
         "extraction_metrics": _extraction_metrics,
+        "extraction_raw_output": _extraction_raw_output,
         "multimodal_page_metadata": _page_metadata,
         "multimodal_payload_features": _payload_features,
         "multimodal_resize_plan": _resized_meta,
@@ -193,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_exact_dedup": textops.fingerprint_oracle(),
         "lang_distribution": textops.lang_distribution_oracle(),
         "corpus_curation": textops.corpus_curation_oracle(),
+        "winnow_window_counts": textops.winnow_window_counts_oracle(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_oracle(),
         "cosine_topk": simsearch.cosine_topk_oracle(),
         "knn_self_join": simsearch.knn_self_join_oracle(),

@@ -98,6 +98,19 @@ EXTRACT_SCHEMA = StructType(
     ]
 )
 
+# with ExtractConfig.include_raw_output: the pre-postprocess model
+# output per document (reference S8/F4 — the ``/ocr`` raw-output
+# response field, ``routers/ocr.py:177-178,347-348``, and the ``.mmd``
+# sink, ``run_dpsk_ocr2_pdf.py:279-326``).  Pages join on the page
+# separator in page order, INCLUDING incomplete pages that the EOS
+# filter drops from extracted_text — raw output is the debugging /
+# re-postprocessing artifact, so it must show what the model actually
+# emitted.  HTML payloads have no model output -> null.
+EXTRACT_SCHEMA_WITH_RAW = StructType(
+    EXTRACT_SCHEMA.fields
+    + [StructField("raw_output", StringType(), True)]
+)
+
 
 @dataclass
 class ExtractConfig:
@@ -117,6 +130,9 @@ class ExtractConfig:
     skip_incomplete_pages: bool = True  # reference skip_repeat default
     page_separator: str = PAGE_SEPARATOR
     decode_batch: DecodeBatchFn = field(default=stub_decode_batch)
+    # gate the raw model output column (reference S8/F4) — off by
+    # default: at 100 TB the raw strings roughly double output bytes
+    include_raw_output: bool = False
 
 
 _COLUMNS = (
@@ -134,14 +150,17 @@ class _Out:
     at bench scale.
     """
 
-    __slots__ = _COLUMNS
+    __slots__ = _COLUMNS + ("raw_output", "include_raw")
 
-    def __init__(self) -> None:
+    def __init__(self, include_raw: bool = False) -> None:
         for c in _COLUMNS:
             setattr(self, c, [])
+        self.raw_output = []
+        self.include_raw = include_raw
 
     def add(self, url, extracted_text, spans, lang, payload_type,
-            total_pages, failed_pages, est_visual_tokens, ok, error) -> None:
+            total_pages, failed_pages, est_visual_tokens, ok, error,
+            raw=None) -> None:
         self.url.append(url)
         self.extracted_text.append(extracted_text)
         self.spans.append(spans)
@@ -152,9 +171,12 @@ class _Out:
         self.est_visual_tokens.append(est_visual_tokens)
         self.ok.append(ok)
         self.error.append(error)
+        if self.include_raw:
+            self.raw_output.append(raw)
 
     def frame(self) -> pd.DataFrame:
-        return pd.DataFrame({c: getattr(self, c) for c in _COLUMNS})
+        cols = _COLUMNS + ("raw_output",) if self.include_raw else _COLUMNS
+        return pd.DataFrame({c: getattr(self, c) for c in cols})
 
     def __len__(self) -> int:
         return len(self.url)
@@ -215,11 +237,13 @@ def _extract_pdf_rows(
             continue
         pages = sorted(meta["pages"], key=lambda tr: tr[0].page_index)
         markdowns: List[str] = []
+        raws: List[str] = []
         spans: List[dict] = []
         failed = 0
         est_tokens = 0
         for task, raw in pages:
             est_tokens += task.est_visual_tokens
+            raws.append(raw)  # raw keeps even EOS-filtered pages (S8/F4)
             # Reference F2: a page without the EOS marker hit max_tokens
             # and is dropped when skip_repeat is on.
             if cfg.skip_incomplete_pages and not has_eos(raw):
@@ -243,6 +267,7 @@ def _extract_pdf_rows(
             est_tokens,
             ok,
             None if ok else "no_complete_pages",
+            raw=cfg.page_separator.join(raws) if raws else None,
         )
 
 
@@ -251,7 +276,7 @@ def make_extract_kernel(cfg: ExtractConfig):
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = _Out()
+            out = _Out(include_raw=cfg.include_raw_output)
             pdf_rows: List[tuple] = []
             for url, payload, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
                 if payload is None:
@@ -325,6 +350,9 @@ def extract_pages(
         narrow = narrow.repartition(
             min(cfg.num_buckets, shuffle_parts), "bucket"
         )
+    schema = (
+        EXTRACT_SCHEMA_WITH_RAW if cfg.include_raw_output else EXTRACT_SCHEMA
+    )
     return narrow.drop("bucket").mapInPandas(
-        make_extract_kernel(cfg), schema=EXTRACT_SCHEMA
+        make_extract_kernel(cfg), schema=schema
     )

@@ -224,6 +224,25 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema=_WINNOW_SCHEMA)
 
 
+def winnow_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checkable projection of the winnowing stage: the
+    rolling-hash window count is pure length arithmetic
+    (max(0, len-63) for 64-char windows), so DuckDB can verify the
+    kernel ran over every document with the right geometry even though
+    the fingerprint hashes themselves are not SQL-expressible."""
+    return winnow_fingerprints(spark, sf_dir).select(
+        "doc_id", "n_windows"
+    ).orderBy("doc_id")
+
+
+def winnow_window_counts_oracle() -> str:
+    return """
+    SELECT doc_id,
+           GREATEST(COALESCE(length(text), 0) - 63, 0) AS n_windows
+    FROM documents ORDER BY doc_id
+    """
+
+
 _LANG_ID_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),

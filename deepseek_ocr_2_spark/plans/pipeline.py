@@ -72,31 +72,75 @@ def _commit_manifest(output_dir: str, snapshots: List[dict]) -> None:
     os.replace(tmp, path)  # atomic commit point
 
 
+class _manifest_lock:
+    """Advisory lockfile (O_CREAT|O_EXCL) serializing manifest
+    read-modify-write: without it, two concurrent committers each read
+    N snapshots and the second replace drops the first's entry — the
+    lost snapshot's data would become permanently invisible.  (A real
+    Iceberg catalog does this with optimistic locking; the lockfile
+    gives the same single-winner semantics on a shared filesystem.)"""
+
+    def __init__(self, output_dir: str, timeout_s: float = 60.0) -> None:
+        self.lock = os.path.join(output_dir, "MANIFEST.lock")
+        self.timeout_s = timeout_s
+        self.fd: Optional[int] = None
+
+    def __enter__(self) -> "_manifest_lock":
+        deadline = time.time() + self.timeout_s
+        while True:
+            try:
+                self.fd = os.open(
+                    self.lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                return self
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"manifest lock held too long: {self.lock}"
+                    )
+                time.sleep(0.05)
+
+    def __exit__(self, *exc) -> None:
+        if self.fd is not None:
+            os.close(self.fd)
+            os.unlink(self.lock)
+
+
 def _append_snapshot(output_dir: str, snap: dict, timeout_s: float = 60.0) -> None:
-    """Serialize read-modify-write of the manifest with an advisory
-    lockfile (O_CREAT|O_EXCL): without it, two concurrent committers
-    each read N snapshots and the second replace drops the first's
-    entry — the lost snapshot's data would become permanently
-    invisible.  (A real Iceberg catalog does this with optimistic
-    locking; the lockfile gives the same single-winner semantics on a
-    shared filesystem.)"""
-    lock = os.path.join(output_dir, "MANIFEST.lock")
-    deadline = time.time() + timeout_s
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
-            if time.time() > deadline:
-                raise TimeoutError(f"manifest lock held too long: {lock}")
-            time.sleep(0.05)
-    try:
+    with _manifest_lock(output_dir, timeout_s):
         snapshots = read_manifest(output_dir)
         snapshots.append(snap)
         _commit_manifest(output_dir, snapshots)
-    finally:
-        os.close(fd)
-        os.unlink(lock)
+
+
+def expire_snapshots(output_dir: str, keep_n: int) -> List[str]:
+    """Retention cleanup (reference C5, ``task_manager.py:692-765``):
+    keep the newest ``keep_n`` committed snapshots, expire the rest.
+
+    Crash-safe ordering: the manifest commits FIRST (expired snapshots
+    become invisible atomically), then their data/metrics directories
+    are swept best-effort — a crash between the two leaves orphaned but
+    unreferenced files, never a referenced-but-deleted snapshot (the
+    same order Iceberg's expire_snapshots uses).  Expired urls leave
+    the committed set, so a later resume run re-extracts them — the
+    retention contract, not a bug.  Returns expired snapshot ids.
+    """
+    import shutil
+
+    if keep_n < 0:
+        raise ValueError("keep_n must be >= 0")
+    with _manifest_lock(output_dir):
+        snapshots = read_manifest(output_dir)
+        if len(snapshots) <= keep_n:
+            return []
+        expired = snapshots[: len(snapshots) - keep_n]
+        _commit_manifest(output_dir, snapshots[len(snapshots) - keep_n:])
+    expired_ids = [s["snapshot_id"] for s in expired]
+    for sid in expired_ids:
+        for sub in ("data", "metrics"):
+            path = os.path.join(output_dir, sub, f"snapshot={sid}")
+            shutil.rmtree(path, ignore_errors=True)  # best-effort sweep
+    return expired_ids
 
 
 def committed_data_paths(

@@ -290,3 +290,39 @@ def test_all_hot_corpus_distributes_evenly(spark):
     counts = [r["count"] for r in keyed.groupBy("bucket").count().collect()]
     assert len(counts) >= 12  # most buckets occupied
     assert max(counts) < 4 * (sum(counts) / len(counts))  # no pile-up
+
+
+def test_raw_output_column_is_config_gated(spark, corpus_rows, extracted):
+    """Reference S8/F4: include_raw_output adds the pre-postprocess
+    model output per document (page-separator-joined, in page order,
+    INCLUDING EOS-filtered pages); default schema is unchanged."""
+    assert "raw_output" not in extracted[next(iter(extracted))].asDict()
+
+    df = C.build_corpus(spark, SF_TINY)
+    res = extract_pages(
+        df,
+        ExtractConfig(
+            num_buckets=4, hot_host_threshold=99, include_raw_output=True
+        ),
+        repartition=False,
+    )
+    rows = {r.url: r for r in res.collect()}
+    assert set(rows) == set(corpus_rows)
+    saw_pdf = saw_filtered = 0
+    for url, r in rows.items():
+        payload = corpus_rows[url]
+        if not payload.startswith(C.PDF_MAGIC):
+            assert r.raw_output is None  # html: no model output
+            continue
+        saw_pdf += 1
+        doc = json.loads(payload[len(C.PDF_MAGIC):])
+        expect = PAGE_SEPARATOR.join(p["raw_output"] for p in doc["pages"])
+        assert r.raw_output == expect
+        if r.failed_pages:
+            saw_filtered += 1
+            # the filtered page's raw text is present in raw_output even
+            # though it is absent from extracted_text
+            assert r.extracted_text is None or len(r.raw_output) > len(
+                r.extracted_text
+            )
+    assert saw_pdf > 0

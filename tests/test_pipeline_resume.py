@@ -78,3 +78,47 @@ def test_snapshot_time_travel(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         P.committed_data_paths(out, as_of="nope")
+
+
+def test_expire_snapshots_retention(spark, tmp_path):
+    """C5 analog: keep newest N snapshots; expired data leaves the
+    committed set atomically and the files are swept."""
+    out = str(tmp_path / "out")
+    pages = C.build_corpus(spark, SF_TINY)
+    s1 = P.run_extraction(spark, pages.limit(30), out, CFG)
+    s2 = P.run_extraction(spark, pages.limit(60), out, CFG)
+    s3 = P.run_extraction(spark, pages.limit(90), out, CFG)
+    assert [s["snapshot_id"] for s in P.read_manifest(out)] == [
+        s1.snapshot_id, s2.snapshot_id, s3.snapshot_id,
+    ]
+
+    expired = P.expire_snapshots(out, keep_n=2)
+    assert expired == [s1.snapshot_id]
+    assert [s["snapshot_id"] for s in P.read_manifest(out)] == [
+        s2.snapshot_id, s3.snapshot_id,
+    ]
+    # expired files swept; kept snapshots intact
+    assert not os.path.exists(
+        os.path.join(out, "data", f"snapshot={s1.snapshot_id}")
+    )
+    assert os.path.exists(
+        os.path.join(out, "data", f"snapshot={s3.snapshot_id}")
+    )
+    # committed view only reads surviving snapshots
+    urls = {r.url for r in P.committed_results(spark, out).collect()}
+    assert len(urls) == 60  # s2's 30 resumed + s3's 30 resumed
+    # no-op when already within budget; lock released both times
+    assert P.expire_snapshots(out, keep_n=5) == []
+    assert not os.path.exists(os.path.join(out, "MANIFEST.lock"))
+
+
+def test_expire_all_snapshots_resets_resume(spark, tmp_path):
+    out = str(tmp_path / "out")
+    pages = C.build_corpus(spark, SF_TINY).limit(20)
+    P.run_extraction(spark, pages, out, CFG)
+    P.expire_snapshots(out, keep_n=0)
+    assert P.read_manifest(out) == []
+    assert P.committed_results(spark, out) is None
+    # resume now re-extracts everything — the retention contract
+    snap = P.run_extraction(spark, pages, out, CFG)
+    assert snap.doc_count == 20
