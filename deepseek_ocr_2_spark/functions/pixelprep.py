@@ -141,6 +141,39 @@ def normalize(
     return (chw - m) / s
 
 
+def tile_boxes(
+    wtiles: int, htiles: int, image_size: int
+) -> list:
+    """The crop boxes ``dynamic_preprocess`` cuts from the resized
+    image (``image_process.py:69-79``): row-major over a
+    (image_size*wtiles, image_size*htiles) canvas, box i at column
+    ``i % wtiles``, row ``i // wtiles`` — each (x0, y0, x1, y1)."""
+    boxes = []
+    for i in range(wtiles * htiles):
+        x0 = (i % wtiles) * image_size
+        y0 = (i // wtiles) * image_size
+        boxes.append((x0, y0, x0 + image_size, y0 + image_size))
+    return boxes
+
+
+def tile_crops(
+    resized: np.ndarray, wtiles: int, htiles: int, image_size: int
+) -> list:
+    """Split the resized page into local-view tiles (P1's crop loop) —
+    numpy slicing over the exact reference boxes; the resize that
+    precedes it stays behind the decode boundary."""
+    h, w = resized.shape[:2]
+    if (w, h) != (image_size * wtiles, image_size * htiles):
+        raise ValueError(
+            f"resized dims {(w, h)} do not match the "
+            f"{wtiles}x{htiles} grid of {image_size}px tiles"
+        )
+    return [
+        resized[y0:y1, x0:x1]
+        for (x0, y0, x1, y1) in tile_boxes(wtiles, htiles, image_size)
+    ]
+
+
 def transform_global_view(resized: np.ndarray, base: int) -> np.ndarray:
     """resized HWC uint8 page -> normalized CHW float32 global view,
     the reference's exact ``image_transform(ImageOps.pad(...))`` minus

@@ -115,3 +115,27 @@ def test_guards():
         P.to_tensor(np.zeros((4, 4, 3), dtype=np.float32))
     with pytest.raises(ValueError):
         P.letterbox_pad(np.zeros((800, 800, 3), dtype=np.uint8), 768, 768)
+
+
+def test_tile_boxes_row_major_reference_order():
+    # 3x2 grid of 4px tiles: box i at (i%3, i//3)
+    boxes = P.tile_boxes(3, 2, 4)
+    assert boxes == [
+        (0, 0, 4, 4), (4, 0, 8, 4), (8, 0, 12, 4),
+        (0, 4, 4, 8), (4, 4, 8, 8), (8, 4, 12, 8),
+    ]
+
+
+def test_tile_crops_partition_exactly():
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, size=(8, 12, 3), dtype=np.uint8)  # 3x2 @4px
+    tiles = P.tile_crops(img, 3, 2, 4)
+    assert len(tiles) == 6
+    assert all(t.shape == (4, 4, 3) for t in tiles)
+    # reassembling the tiles in box order reproduces the image exactly
+    rebuilt = np.zeros_like(img)
+    for t, (x0, y0, x1, y1) in zip(tiles, P.tile_boxes(3, 2, 4)):
+        rebuilt[y0:y1, x0:x1] = t
+    assert (rebuilt == img).all()
+    with pytest.raises(ValueError):
+        P.tile_crops(img, 2, 2, 4)  # wrong grid for these dims

@@ -19,8 +19,11 @@ ceiling-relative efficiency (raw / ceiling) — the latter isolates what
 the *pipeline* adds on top of what the hardware permits, which is the
 quantity that transfers to a real cluster of independent executors.
 
-Each measurement is the best of ``RUNS`` timed runs after ``WARMUPS``
-warm-ups (best-of = capability; local-mode noise is strictly additive).
+Each measurement reports BOTH best-of-``RUNS`` (capability — local-mode
+noise is strictly additive) and median-of-``RUNS`` (robustness against
+picking a lucky run), with the full wall list recorded so the spread is
+on the record (round-1 walls showed a 3x spread at local[32] on a busy
+window; re-measured on a quiet window per VERDICT r01 #8).
 
 Usage: python tools/scaling_bench.py  (writes BENCH/BASELINE.md)
 """
@@ -29,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -37,8 +41,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 LEVELS = (8, 32)
 REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "96"))
-RUNS = int(os.environ.get("SPARK_GRAFT_RUNS", "4"))
-WARMUPS = 2
+RUNS = int(os.environ.get("SPARK_GRAFT_RUNS", "8"))
+# 2 warmups leave the 32-thread JVM still improving through the first
+# measured rounds (observed: walls fell 16.2 -> 9.8 across 6 rounds);
+# 4 warmups flatten the trend
+WARMUPS = int(os.environ.get("SPARK_GRAFT_WARMUPS", "4"))
 
 _CHILD = r"""
 import json, sys, time
@@ -68,14 +75,17 @@ def run():
                      F.sum(F.length("extracted_text")).alias("chars")).collect()[0]
     return time.time() - t0, int(agg["docs"])
 
-for _ in range(int(sys.argv[4])):
-    run()  # warm-ups: python-worker pool spin-up, JIT, page cache
-walls = []
-docs = 0
 for _ in range(int(sys.argv[3])):
+    run()  # warm-ups: python-worker pool spin-up, JIT, page cache
+# poke mode: the parent alternates RUN commands between the two levels,
+# so host-noise bursts land on BOTH levels of a pair instead of
+# corrupting one side of the efficiency ratio
+print("READY", flush=True)
+for line in sys.stdin:
+    if line.strip() == "EXIT":
+        break
     w, docs = run()
-    walls.append(w)
-print("RESULT " + json.dumps({"cpus": cpus, "walls": walls, "docs": docs}))
+    print("WALL " + json.dumps({"wall": w, "docs": docs}), flush=True)
 """
 
 # Machine ceiling: the same kernel functions through plain
@@ -119,27 +129,111 @@ if __name__ == "__main__":
     chunks = [(payloads, 2)] * 64  # fixed total work, whole-chunk units
     with mp.Pool(cpus) as pool:
         pool.map(work, chunks[:cpus])  # warm-up
-        walls = []
-        total = 0
-        for _ in range(runs):
+        print("READY", flush=True)
+        for line in sys.stdin:
+            if line.strip() == "EXIT":
+                break
             t0 = time.time()
             total = sum(pool.map(work, chunks))
-            walls.append(time.time() - t0)
-    print("RESULT " + json.dumps({"cpus": cpus, "walls": walls, "docs": total}))
+            print("WALL " + json.dumps(
+                {"wall": time.time() - t0, "docs": total}), flush=True)
 """
 
 
-def _run_child(script: str, cpus: int, *args: str) -> dict:
-    proc = subprocess.run(
-        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", script,
-         str(cpus), *args],
-        capture_output=True, text=True, cwd=REPO, timeout=3600,
-    )
-    lines = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
-    if not lines:
-        print(proc.stdout[-3000:], proc.stderr[-3000:])
-        raise RuntimeError(f"child @{cpus} cores failed")
-    return json.loads(lines[-1][len("RESULT "):])
+class _PokedChild:
+    """A long-lived measurement child pinned to its core budget.
+
+    The parent alternates single timed runs between the two parallelism
+    levels ("paired rounds"), so a host-noise burst inflates BOTH walls
+    of a pair rather than silently corrupting one side of the
+    efficiency ratio — on this virtualized guest the unpaired design
+    produced 3x wall spreads that landed entirely on one level.
+    While idle a child blocks on stdin (its executor threads park), so
+    the inactive level does not compete for the measured cores.
+    """
+
+    def __init__(self, script: str, cpus: int, *args: str) -> None:
+        self.cpus = cpus
+        self.proc = subprocess.Popen(
+            ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c",
+             script, str(cpus), *args],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, bufsize=1, cwd=REPO,
+        )
+
+    def wait_ready(self) -> None:
+        for line in self.proc.stdout:
+            if line.strip() == "READY":
+                return
+        raise RuntimeError(f"child @{self.cpus} died before READY")
+
+    def run_once(self) -> dict:
+        self.proc.stdin.write("RUN\n")
+        self.proc.stdin.flush()
+        for line in self.proc.stdout:
+            if line.startswith("WALL "):
+                return json.loads(line[len("WALL "):])
+        raise RuntimeError(f"child @{self.cpus} died mid-run")
+
+    def close(self) -> None:
+        try:
+            self.proc.stdin.write("EXIT\n")
+            self.proc.stdin.flush()
+        except BrokenPipeError:
+            pass
+        self.proc.wait(timeout=120)
+
+
+def _four_way_measure(corpus_path: str) -> tuple[dict, dict, list]:
+    """RUNS four-way paired rounds: every round times spark@lo,
+    spark@hi, kernel@lo, kernel@hi back to back, so the raw efficiency,
+    the machine ceiling, AND their ratio are all computed within one
+    noise window — host drift between rounds cancels in the per-round
+    ratios instead of corrupting one side.  Returns (spark_m, ceil_m,
+    per-round rel list)."""
+    lo, hi = LEVELS
+    spark_kids, ceil_kids = {}, {}
+    # warm up sequentially (concurrent warmups would contend)
+    for cpus in LEVELS:
+        spark_kids[cpus] = _PokedChild(
+            _CHILD, cpus, corpus_path, str(WARMUPS)
+        )
+        spark_kids[cpus].wait_ready()
+    for cpus in LEVELS:
+        ceil_kids[cpus] = _PokedChild(
+            _CEILING_CHILD % {"repo": REPO}, cpus, SF_DIR, "1"
+        )
+        ceil_kids[cpus].wait_ready()
+    spark_m = {"walls": {c: [] for c in LEVELS}, "docs": {}, "ratios": []}
+    ceil_m = {"walls": {c: [] for c in LEVELS}, "docs": {}, "ratios": []}
+    rels = []
+    try:
+        for r in range(RUNS):
+            s_lo = spark_kids[lo].run_once()
+            s_hi = spark_kids[hi].run_once()
+            k_lo = ceil_kids[lo].run_once()
+            k_hi = ceil_kids[hi].run_once()
+            for m, a, b in ((spark_m, s_lo, s_hi), (ceil_m, k_lo, k_hi)):
+                m["walls"][lo].append(a["wall"])
+                m["walls"][hi].append(b["wall"])
+                m["docs"][lo], m["docs"][hi] = a["docs"], b["docs"]
+                m["ratios"].append((a["wall"] / b["wall"]) / (hi / lo))
+            rels.append(spark_m["ratios"][-1] / ceil_m["ratios"][-1])
+            print(
+                f"round {r}: spark w{lo}={s_lo['wall']:.2f} "
+                f"w{hi}={s_hi['wall']:.2f} eff={spark_m['ratios'][-1]:.3f}"
+                f" | kernel w{lo}={k_lo['wall']:.2f} "
+                f"w{hi}={k_hi['wall']:.2f} eff={ceil_m['ratios'][-1]:.3f}"
+                f" | rel={rels[-1]:.3f}",
+                flush=True,
+            )
+    finally:
+        for k in list(spark_kids.values()) + list(ceil_kids.values()):
+            k.close()
+    for m in (spark_m, ceil_m):
+        for c in LEVELS:
+            m[c] = {"cpus": c, "walls": m["walls"][c], "docs": m["docs"][c]}
+    return spark_m, ceil_m, rels
 
 
 def main() -> None:
@@ -178,27 +272,37 @@ def _run(staging: str) -> None:
     n_docs = spark.read.parquet(corpus_path).count()
     spark.stop()
 
-    spark_res, ceil_res = {}, {}
-    for cpus in LEVELS:
-        # Pinning rationale: without taskset the local[8] child's Python
-        # workers borrow the other 24 idle cores and the "8-core" number
-        # is really a ~16-core number.  A real 8-core executor has no
-        # idle neighbors to borrow.
-        spark_res[cpus] = _run_child(
-            _CHILD, cpus, corpus_path, str(RUNS), str(WARMUPS)
-        )
-        print(f"spark  local[{cpus}]: walls={spark_res[cpus]['walls']}")
-        ceil_res[cpus] = _run_child(
-            _CEILING_CHILD % {"repo": REPO}, cpus, SF_DIR, str(RUNS)
-        )
-        print(f"kernel mp[{cpus}]:  walls={ceil_res[cpus]['walls']}")
+    # Pinning rationale: without taskset the local[8] child's Python
+    # workers borrow the other 24 idle cores and the "8-core" number
+    # is really a ~16-core number.  A real 8-core executor has no
+    # idle neighbors to borrow.
+    spark_m, ceil_m, rels = _four_way_measure(corpus_path)
+    spark_res = {c: spark_m[c] for c in LEVELS}
+    ceil_res = {c: ceil_m[c] for c in LEVELS}
 
     lo, hi = LEVELS
     tp = {c: spark_res[c]["docs"] / min(spark_res[c]["walls"]) for c in LEVELS}
     ctp = {c: ceil_res[c]["docs"] / min(ceil_res[c]["walls"]) for c in LEVELS}
+    tp_med = {
+        c: spark_res[c]["docs"] / statistics.median(spark_res[c]["walls"])
+        for c in LEVELS
+    }
+    ctp_med = {
+        c: ceil_res[c]["docs"] / statistics.median(ceil_res[c]["walls"])
+        for c in LEVELS
+    }
     eff = (tp[hi] / tp[lo]) / (hi / lo)
     ceiling = (ctp[hi] / ctp[lo]) / (hi / lo)
     rel = eff / ceiling if ceiling else float("nan")
+    # median of PER-PAIR efficiency ratios (paired rounds cancel drift);
+    # rel_med is the median of PER-ROUND spark/kernel efficiency ratios
+    # (all four walls of a round share one noise window)
+    eff_med = statistics.median(spark_m["ratios"])
+    ceiling_med = statistics.median(ceil_m["ratios"])
+    rel_med = statistics.median(rels)
+
+    def spread(walls):
+        return f"{min(walls):.2f}-{max(walls):.2f}"
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     out = os.path.join(REPO, "BENCH", "BASELINE.md")
@@ -212,7 +316,9 @@ two cluster sizes.  Sandbox substitution per the driver instruction:
 same job + same staged input at `local[{lo}]` and `local[{hi}]`,
 separate JVMs, each **pinned with taskset to exactly its core budget**
 (without the pin the small level borrows idle cores and the comparison
-is meaningless).  Best of {RUNS} runs after {WARMUPS} warm-ups.
+is meaningless).  {RUNS} timed runs after {WARMUPS} warm-ups; best-of
+AND median-of reported, full wall lists below (nothing else ran on the
+box during measurement).
 
 Corpus: {n_docs} docs staged from `{SF_DIR}` (x{REPLICATE} replication),
 ~1/4 PDF-stub payloads (multi-page decode+postprocess), ~3/4
@@ -221,12 +327,15 @@ boilerplate-rich HTML (DOM text-density extraction), one giant host
 
 ## Spark extraction job
 
-| parallelism | wall s (best) | docs/sec |
-|---|---|---|
-| local[{lo}]  | {min(spark_res[lo]['walls']):.2f} | {tp[lo]:,.0f} |
-| local[{hi}] | {min(spark_res[hi]['walls']):.2f} | {tp[hi]:,.0f} |
+| parallelism | wall s (best) | wall s (median) | wall range | docs/sec (best) | docs/sec (median) |
+|---|---|---|---|---|---|
+| local[{lo}]  | {min(spark_res[lo]['walls']):.2f} | {statistics.median(spark_res[lo]['walls']):.2f} | {spread(spark_res[lo]['walls'])} | {tp[lo]:,.0f} | {tp_med[lo]:,.0f} |
+| local[{hi}] | {min(spark_res[hi]['walls']):.2f} | {statistics.median(spark_res[hi]['walls']):.2f} | {spread(spark_res[hi]['walls'])} | {tp[hi]:,.0f} | {tp_med[hi]:,.0f} |
 
-**Raw scaling efficiency ({lo} -> {hi} cores): {eff:.3f}**
+**Raw scaling efficiency ({lo} -> {hi} cores): best-of {eff:.3f},
+median of per-pair ratios {eff_med:.3f}**
+(runs alternate {lo}/{hi} in pairs so noise bursts hit both sides of a
+ratio; per-pair efficiencies: {[round(r, 3) for r in spark_m['ratios']]})
 
 ## Machine ceiling (same kernel, plain multiprocessing, no Spark)
 
@@ -235,16 +344,21 @@ process pool running the identical kernel does not scale 4x from
 {lo} -> {hi} pinned cores.  Whatever the pool loses is the hardware
 (frequency/steal/memory bandwidth), not the pipeline.
 
-| parallelism | kernel docs/sec (mp pool) |
-|---|---|
-| {lo} procs  | {ctp[lo]:,.0f} |
-| {hi} procs | {ctp[hi]:,.0f} |
+| parallelism | kernel docs/sec (best) | kernel docs/sec (median) | wall range |
+|---|---|---|---|
+| {lo} procs  | {ctp[lo]:,.0f} | {ctp_med[lo]:,.0f} | {spread(ceil_res[lo]['walls'])} |
+| {hi} procs | {ctp[hi]:,.0f} | {ctp_med[hi]:,.0f} | {spread(ceil_res[hi]['walls'])} |
 
-**Machine-ceiling efficiency ({lo} -> {hi}): {ceiling:.3f}**
+**Machine-ceiling efficiency ({lo} -> {hi}): best-of {ceiling:.3f},
+median of per-pair ratios {ceiling_med:.3f}**
+(per-pair: {[round(r, 3) for r in ceil_m['ratios']]})
 
 ## Pipeline efficiency relative to the ceiling
 
-**eff_pipeline = raw / ceiling = {eff:.3f} / {ceiling:.3f} = {rel:.3f}**
+**eff_pipeline (best)   = raw / ceiling = {eff:.3f} / {ceiling:.3f} = {rel:.3f}**
+**eff_pipeline (median of per-round spark/kernel ratios) = {rel_med:.3f}**
+(per-round rel: {[round(r, 3) for r in rels]} — each round times all
+four configurations back to back inside one noise window)
 (target >= 0.8 — this is the number that transfers to a real cluster,
 where executors are independent machines and the guest-VM ceiling does
 not apply.  {'The Spark plan itself adds no measurable scaling loss'
@@ -277,6 +391,23 @@ ceiling={json.dumps(ceil_res)}
                 "raw_efficiency": round(eff, 3),
                 "machine_ceiling_efficiency": round(ceiling, 3),
                 "pipeline_efficiency_vs_ceiling": round(rel, 3),
+                "median": {
+                    "docs_per_sec": {
+                        str(c): round(tp_med[c], 1) for c in LEVELS
+                    },
+                    "raw_efficiency": round(eff_med, 3),
+                    "machine_ceiling_efficiency": round(ceiling_med, 3),
+                    "pipeline_efficiency_vs_ceiling": round(rel_med, 3),
+                },
+                "paired_ratios": {
+                    "spark": [round(r, 3) for r in spark_m["ratios"]],
+                    "ceiling": [round(r, 3) for r in ceil_m["ratios"]],
+                    "rel_per_round": [round(r, 3) for r in rels],
+                },
+                "spark_walls": {
+                    str(c): [round(w, 2) for w in spark_res[c]["walls"]]
+                    for c in LEVELS
+                },
             },
             f,
         )
