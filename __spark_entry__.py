@@ -153,6 +153,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_month": R.orders_by_month,
         "percentile_order_values": R.percentile_order_values,
         "sql_q1_via_views": R.sql_q1_via_views,
+        "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
+        "scalar_subquery_above_avg": R.scalar_subquery_above_avg,
+        "pivot_status_by_priority": R.pivot_status_by_priority,
+        "dense_rank_price_tiers": R.dense_rank_price_tiers,
+        "union_all_event_value": R.union_all_event_value,
+        "string_funcs_parts": R.string_funcs_parts,
         # --- text analysis (training-data ops) ---
         "token_count": textops.token_count,
         "quality_score": textops.quality_score,
@@ -204,6 +210,12 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_month": R.orders_by_month_oracle(),
         "percentile_order_values": R.percentile_oracle(),
         "sql_q1_via_views": R.sql_q1_oracle(),
+        "q17_small_quantity_revenue": R.q17_oracle(),
+        "scalar_subquery_above_avg": R.scalar_subquery_oracle(),
+        "pivot_status_by_priority": R.pivot_oracle(),
+        "dense_rank_price_tiers": R.dense_rank_oracle(),
+        "union_all_event_value": R.union_all_oracle(),
+        "string_funcs_parts": R.string_funcs_oracle(),
         "token_count": textops.token_count_oracle(),
         "quality_score": textops.quality_score_oracle(),
         "fingerprint_exact_dedup": textops.fingerprint_oracle(),

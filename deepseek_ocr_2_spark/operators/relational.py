@@ -681,6 +681,225 @@ def sql_q1_oracle() -> str:
     """
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated AVG subquery: revenue from lineitems
+    whose quantity is below half the part's average quantity.
+
+    The correlated ``l_quantity < 0.5 * avg(l_quantity)`` predicate is
+    rewritten integer-exact — ``2 * qty * n < sum_qty`` — so both
+    engines compare integers instead of an order-dependent float mean.
+    Plan: per-part aggregate (map-side partials) joined back to the
+    fact table; Catalyst turns it into one shuffle on l_partkey.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(
+            2 * F.col("l_quantity").cast("long") * F.col("n_lines")
+            < F.col("sum_qty")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("small_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q17_oracle() -> str:
+    return """
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n_small,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS small_cents
+    FROM lineitem JOIN per_part USING (l_partkey)
+    WHERE 2 * CAST(l_quantity AS BIGINT) * n_lines < sum_qty
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-aggregate subquery: orders priced above the global mean.
+
+    ``price > avg(price)`` is order-dependent in floats; rewritten
+    integer-exact as ``cents * n_total > total_cents`` (a broadcast of
+    one row — Catalyst plans the scalar agg as a subquery reuse).
+    """
+    orders = load(spark, sf_dir, "orders")
+    totals = orders.agg(
+        F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    return (
+        orders.crossJoin(F.broadcast(totals))
+        .filter(
+            _cents(F.col("o_totalprice")) * F.col("n_total")
+            > F.col("total_cents")
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def scalar_subquery_oracle() -> str:
+    return """
+    WITH t AS (
+      SELECT CAST(SUM(CAST(ROUND(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS total_cents,
+             COUNT(*) AS n_total
+      FROM orders
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_above_avg
+    FROM orders, t
+    WHERE CAST(ROUND(o_totalprice*100, 0) AS BIGINT) * n_total > total_cents
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation pivot (stable explicit columns, not the
+    dynamic ``pivot()`` API, so the schema is deterministic)."""
+    orders = load(spark, sf_dir, "orders")
+
+    def n(status: str) -> F.Column:
+        return F.sum(
+            F.when(F.col("o_orderstatus") == status, 1).otherwise(0)
+        )
+
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            n("F").alias("n_f"),
+            n("O").alias("n_o"),
+            n("P").alias("n_p"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def pivot_oracle() -> str:
+    return """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+           COUNT(*) AS n_total
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+
+def dense_rank_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank (tie-preserving) + first_value window coverage: the
+    two most expensive price points per brand, every tied part kept."""
+    part = load(spark, sf_dir, "part")
+    cents = part.select(
+        "p_brand", "p_partkey", _cents(F.col("p_retailprice")).alias("cents")
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("cents"))
+    return (
+        cents.withColumn("tier", F.dense_rank().over(w))
+        .withColumn("brand_max_cents", F.first("cents").over(w))
+        .filter(F.col("tier") <= 2)
+        .select("p_brand", "p_partkey", "cents", "tier", "brand_max_cents")
+        .orderBy("p_brand", F.desc("cents"), "p_partkey")
+    )
+
+
+def dense_rank_oracle() -> str:
+    return """
+    SELECT p_brand, p_partkey, cents, tier, brand_max_cents FROM (
+      SELECT p_brand, p_partkey,
+             CAST(ROUND(p_retailprice*100, 0) AS BIGINT) AS cents,
+             DENSE_RANK() OVER w AS tier,
+             FIRST_VALUE(CAST(ROUND(p_retailprice*100, 0) AS BIGINT)) OVER w
+               AS brand_max_cents
+      FROM part
+      WINDOW w AS (PARTITION BY p_brand
+                   ORDER BY CAST(ROUND(p_retailprice*100, 0) AS BIGINT) DESC)
+    ) t WHERE tier <= 2
+    ORDER BY p_brand, cents DESC, p_partkey
+    """
+
+
+def union_all_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two differently-filtered projections, re-aggregated
+    — duplicate-preserving union semantics (vs the setop query's
+    EXCEPT/INTERSECT)."""
+    ev = load(spark, sf_dir, "events")
+    big = ev.filter(F.col("value") >= 50).select(
+        F.lit("big").alias("bucket"), "event_type", _cents(F.col("value")).alias("cents")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit("click").alias("bucket"), "event_type", _cents(F.col("value")).alias("cents")
+    )
+    return (
+        big.unionAll(clicks)
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+def union_all_oracle() -> str:
+    return """
+    WITH u AS (
+      SELECT 'big' AS bucket, event_type,
+             CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+      FROM events WHERE value >= 50
+      UNION ALL
+      SELECT 'click' AS bucket, event_type,
+             CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT bucket, event_type, COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM u GROUP BY bucket, event_type ORDER BY bucket, event_type
+    """
+
+
+def string_funcs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function coverage with scan pushdown: LIKE filter reaches
+    the parquet scan; substring/locate/upper/concat in the projection."""
+    part = load(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_type").like("%DARD%"))
+        .select(
+            "p_partkey",
+            F.upper(F.substring("p_name", 1, 5)).alias("name5"),
+            F.locate("DARD", F.col("p_type")).cast("long").alias("dard_at"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def string_funcs_oracle() -> str:
+    return """
+    SELECT p_partkey,
+           UPPER(SUBSTRING(p_name, 1, 5)) AS name5,
+           CAST(POSITION('DARD' IN p_type) AS BIGINT) AS dard_at,
+           CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+           p_brand || '#' || p_type AS brand_type
+    FROM part WHERE p_type LIKE '%DARD%'
+    ORDER BY p_partkey
+    """
+
+
 def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date truncation + aggregation (date-function coverage)."""
     orders = load(spark, sf_dir, "orders")

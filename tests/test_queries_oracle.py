@@ -1,12 +1,15 @@
 """Driver-contract gate: every queries() entry runs; every oracle-backed
-one matches DuckDB exactly (row count + columns + order-insensitive
-canonical values) at sf0.01 — a faithful local replica of the driver's
-CORRECTNESS check."""
+one matches DuckDB exactly at sf0.01 — a faithful local replica of the
+driver's CORRECTNESS check, including its pandas round-trip: both sides
+go THROUGH pandas frames and compare with dtype-sensitive
+canonicalization (int64 vs float64 of equal value differ), the exact
+semantics under which DuckDB HUGEINT promotion broke 10 queries in
+round 1."""
 
 from __future__ import annotations
 
-import datetime
-import math
+import importlib.util
+import os
 
 import duckdb
 import pytest
@@ -20,26 +23,13 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
-
-def canon(v):
-    if v is None:
-        return "∅"
-    if isinstance(v, bool):
-        return str(v)
-    if isinstance(v, float):
-        return "nan" if math.isnan(v) else repr(round(v, 9))
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
-    return str(v)
-
-
-def rowset(cols, rows):
-    # tuples, not joined strings: a '|' inside a value must not let two
-    # different rows canonicalize identically
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_spec = importlib.util.spec_from_file_location(
+    "check_oracle", os.path.join(_REPO, "tools", "check_oracle.py")
+)
+check_oracle = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(check_oracle)
+frame_rowset = check_oracle.frame_rowset
 
 
 @pytest.fixture(scope="module")
@@ -56,25 +46,23 @@ QUERIES = entrymod.queries()
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_match(spark, duck, name):
-    df = QUERIES[name](spark, SF_SMALL)
-    scols = df.columns
-    srows = [[r[c] for c in scols] for r in df.collect()]
-    res = duck.sql(ORACLES[name])
-    ocols = list(res.columns)
-    orows = res.fetchall()
-    assert sorted(scols) == sorted(ocols)
-    assert len(srows) == len(orows)
-    assert rowset(scols, srows) == rowset(ocols, orows)
+    spdf = QUERIES[name](spark, SF_SMALL).toPandas()
+    opdf = duck.sql(ORACLES[name]).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns)
+    assert len(spdf) == len(opdf)
+    assert frame_rowset(spdf) == frame_rowset(opdf)
 
 
 @pytest.mark.parametrize(
     "name", sorted(set(QUERIES) - set(ORACLES))
 )
 def test_rows_only_queries_run(spark, name):
-    df = QUERIES[name](spark, SF_SMALL)
-    rows = df.collect()
-    assert df.columns  # stable schema
-    assert len(rows) > 0, f"{name} returned no rows at sf0.01"
+    spdf = QUERIES[name](spark, SF_SMALL).toPandas()
+    assert list(spdf.columns)  # stable schema
+    assert len(spdf) > 0, f"{name} returned no rows at sf0.01"
+    # the driver canonicalizes rows-only frames too: unhashable cells
+    # (list columns) crashed its harness in round 1 — must not recur
+    frame_rowset(spdf)
 
 
 def test_entry_smoke(spark):
