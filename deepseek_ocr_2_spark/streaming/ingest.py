@@ -195,6 +195,34 @@ def start_host_counter_stream(
     )
 
 
+def dedup_page_stream(
+    pages: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: drop pages whose
+    whitespace-normalized content fingerprint was already seen within
+    the watermark horizon.
+
+    The batch pipeline dedups with a full hash-groupBy
+    (``textops.fingerprint_exact_dedup``); a stream cannot hold every
+    fingerprint ever seen, so this uses
+    ``dropDuplicatesWithinWatermark`` — state for a fingerprint is
+    dropped once the watermark passes it, which bounds the state store
+    by (ingest rate x horizon) instead of corpus size.  Re-crawled
+    near-simultaneous duplicates (the common case: the same page from
+    two crawl frontiers hours apart) are suppressed; true re-crawls
+    beyond the horizon re-emit and fall through to the batch dedup,
+    the standard lambda split.
+    """
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    ).alias("fingerprint")
+    return (
+        pages.select("url", "warc_ts", "html", "text", "lang", fp)
+        .withWatermark("warc_ts", horizon)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
 def windowed_failure_counts(pages_with_results: DataFrame) -> DataFrame:
     """Event-time windowed failure rollup with a watermark (monitoring).
 

@@ -78,3 +78,58 @@ def test_extract_shuffles_payload_exactly_once_and_narrow(spark):
     assert names == {"url", "html", "lang", "bucket"}  # payload pruned
     for cols in ensure:  # hot-host agg shuffle: no payload bytes
         assert "html" not in cols and "url" not in cols
+
+
+def test_lsh_near_dup_plan_reuses_keys_and_prunes(spark):
+    """The banded-LSH near-dup plan must (a) reuse the persisted band
+    keys on both sides of the candidate self-join (InMemoryTableScan,
+    so the signature matmul runs once), and (b) never sort-merge the
+    rerank joins at this scale (embeddings broadcast)."""
+    from deepseek_ocr_2_spark.operators import simsearch
+    from deepseek_ocr_2_spark.operators.cachereg import release_caches
+
+    df = simsearch.embedding_near_dup_lsh(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert plan.count("InMemoryTableScan") >= 2, "band keys not reused"
+    # embeddings scans are pruned to (vec_id, embedding)
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    for schema in m:
+        names = {c.split(":")[0] for c in schema.split(",")}
+        assert names <= {"vec_id", "embedding"}
+    release_caches()
+
+
+def test_q17_single_fact_shuffle(spark):
+    """The correlated-AVG rewrite shares one shuffle key (l_partkey):
+    the per-part aggregate and the join co-partition, so the fact table
+    moves at most twice (agg partials + join), never more."""
+    plan = formatted_plan(R.q17_small_quantity_revenue(spark, SF_SMALL))
+    body = plan.split("== Physical Plan ==")[-1]
+    # partial agg before the exchange
+    assert body.count("HashAggregate") >= 2
+    # lineitem scans are pruned: only the 4 needed columns appear
+    for m in re.findall(r"ReadSchema: struct<(l_[^>]*)>", body):
+        names = {c.split(":")[0] for c in m.split(",")}
+        assert names <= {
+            "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag",
+        }
+
+
+def test_simhash_explodes_once_no_per_combo_scan(spark):
+    """The block-combination index must emit all combination keys from
+    ONE pass over the signatures (generate/explode), not one scan per
+    combination — 220 combinations at 10^12 docs cannot re-read the
+    corpus 220 times."""
+    from deepseek_ocr_2_spark.operators import dedup
+    from deepseek_ocr_2_spark.operators.cachereg import release_caches
+
+    df = dedup.simhash_near_dups(spark, SF_SMALL, n_blocks=8)
+    plan = formatted_plan(df)
+    # operator tree only (the details section repeats every node)
+    tree = plan.split("== Physical Plan ==")[-1].split("\n\n(1)")[0]
+    # the persisted signature table feeds both join sides
+    assert tree.count("InMemoryTableScan") == 2
+    # exactly one Generate (explode) per join side — C(8,5)=56
+    # combination keys come from ONE array, not 56 scans
+    assert tree.count("Generate") == 2, tree
+    release_caches()

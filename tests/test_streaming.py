@@ -135,3 +135,39 @@ def test_stateful_host_counters_survive_restart(spark, tmp_path, corpus_df):
         for r in snap2.groupBy("host").agg({"failures_total": "max"}).collect()
     )
     assert got_failures == expect_failures
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path, corpus_df):
+    """dropDuplicatesWithinWatermark: a re-crawled duplicate inside the
+    horizon is suppressed; distinct content all survives."""
+    from pyspark.sql import functions as F
+
+    drop = str(tmp_path / "ddrop")
+    base = corpus_df.limit(40)
+    # forge re-crawls: same text (same fingerprint), different url + ts
+    dups = base.limit(10).select(
+        F.concat(F.col("url"), F.lit("?recrawl=1")).alias("url"),
+        (F.col("warc_ts") + F.expr("INTERVAL 5 MINUTES")).alias("warc_ts"),
+        "html",
+        "text",
+        "lang",
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+    )
+    base.unionByName(dups).write.mode("overwrite").parquet(drop)
+
+    deduped = ingest.dedup_page_stream(
+        ingest.read_page_stream(spark, drop), horizon="1 hour"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not drain"
+    rows = spark.sql("select * from dedup_sink").collect()
+    # 40 distinct fingerprints in, 10 in-horizon re-crawls dropped
+    assert len(rows) == 40
+    assert len({r.fingerprint for r in rows}) == 40
