@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_rank_price_tiers": R.dense_rank_price_tiers,
         "union_all_event_value": R.union_all_event_value,
         "string_funcs_parts": R.string_funcs_parts,
+        "distinct_parts_per_flag": R.distinct_parts_per_flag,
         # --- text analysis (training-data ops) ---
         "token_count": textops.token_count,
         "quality_score": textops.quality_score,
@@ -216,6 +217,7 @@ def oracle_sql() -> dict[str, str]:
         "dense_rank_price_tiers": R.dense_rank_oracle(),
         "union_all_event_value": R.union_all_oracle(),
         "string_funcs_parts": R.string_funcs_oracle(),
+        "distinct_parts_per_flag": R.distinct_parts_oracle(),
         "token_count": textops.token_count_oracle(),
         "quality_score": textops.quality_score_oracle(),
         "fingerprint_exact_dedup": textops.fingerprint_oracle(),

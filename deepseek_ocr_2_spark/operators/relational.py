@@ -900,6 +900,32 @@ def string_funcs_oracle() -> str:
     """
 
 
+def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) coverage — the distinct-aggregate path (Spark
+    plans it as a two-phase expand + aggregate; still map-side partial
+    on the distinct keys)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def distinct_parts_oracle() -> str:
+    return """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_lines
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+
 def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date truncation + aggregation (date-function coverage)."""
     orders = load(spark, sf_dir, "orders")

@@ -187,3 +187,14 @@ def test_release_caches_drops_tracked_blocks(spark):
     n = release_caches()
     assert n >= 2  # bands + shingle sets
     assert release_caches() == 0  # idempotent
+
+
+def test_ann_plane_count_tracks_corpus():
+    assert simsearch.ann_plane_count(500) == 6  # floor (testdata scale)
+    assert simsearch.ann_plane_count(10**6) == 14
+    assert simsearch.ann_plane_count(10**9) == 24
+    assert simsearch.ann_plane_count(10**12) == 34
+    # expected bucket occupancy stays ~ANN_TARGET_BUCKET
+    for n in (10**6, 10**9, 10**12):
+        k = simsearch.ann_plane_count(n)
+        assert n / 2**k <= simsearch.ANN_TARGET_BUCKET
