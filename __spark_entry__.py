@@ -65,6 +65,31 @@ def _extraction_raw_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _extraction_package_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference S5/S6 result packaging (doc.json) re-expressed as a
+    typed-struct -> to_json projection — the table-native analog of
+    ``utils/packaging.py`` (artifact files are a non-goal; the JSON
+    document shape is the preserved surface)."""
+    res = _extraction_results(spark, sf_dir)
+    return (
+        res.filter(F.col("ok"))
+        .select(
+            "url",
+            F.to_json(
+                F.struct(
+                    "url",
+                    "lang",
+                    "payload_type",
+                    "total_pages",
+                    F.size("spans").alias("n_spans"),
+                    "extracted_text",
+                )
+            ).alias("doc_json"),
+        )
+        .orderBy("url")
+    )
+
+
 def _extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = _extraction_results(spark, sf_dir)
     return (
@@ -183,6 +208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_flagship": _extraction_flagship,
         "extraction_metrics": _extraction_metrics,
         "extraction_raw_output": _extraction_raw_output,
+        "extraction_package_json": _extraction_package_json,
         "multimodal_page_metadata": _page_metadata,
         "multimodal_payload_features": _payload_features,
         "multimodal_resize_plan": _resized_meta,

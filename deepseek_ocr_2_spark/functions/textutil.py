@@ -47,3 +47,20 @@ def clean_formula(text: str) -> str:
         return f"\\[{inner}\\]"
 
     return _FORMULA_BLOCK.sub(fix, text)
+
+
+def html_escape(text: str) -> str:
+    """Five-entity HTML escaping (reference T8,
+    ``deepseek_ocr2_api/routers/tasks.py:607-616``): the exact
+    replacement ORDER matters — ``&`` first, or already-escaped
+    entities would double-escape.  Note the reference escapes ``'`` as
+    ``&#39;`` (not ``&apos;``), matching stdlib ``html.escape``.
+    """
+    return (
+        text
+        .replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+        .replace("'", "&#39;")
+    )

@@ -45,3 +45,15 @@ class TestCleanFormula:
     def test_multiple_blocks(self):
         s = r"\[x \quad (1)\] mid \[y \quad (2)\]"
         assert clean_formula(s) == r"\[x\] mid \[y\]"
+
+
+def test_html_escape_matches_reference_semantics():
+    from deepseek_ocr_2_spark.functions.textutil import html_escape
+    import html
+
+    s = """<a href="x?a=1&b='2'">R&D <tag></a>"""
+    out = html_escape(s)
+    assert out == html.escape(s, quote=True).replace("&#x27;", "&#39;")
+    # ampersand-first ordering: no double escaping
+    assert html_escape("&lt;") == "&amp;lt;"
+    assert "&amp;amp;" not in html_escape("&")
