@@ -141,8 +141,17 @@ class _BlockBuilder:
         self._tag_stack: List[Tuple[str, bool, bool]] = []
 
     def _flush(self, next_tag: str = "p") -> None:
-        if self._cur.text:
-            self.blocks.append(self._cur)
+        cur = self._cur
+        if not cur.chars:
+            # nothing buffered: reuse the block in place — flushes per
+            # tag event vastly outnumber text-bearing blocks, and the
+            # allocation + whitespace-normalize regex per empty flush
+            # was a measurable kernel slice
+            cur.tag = next_tag
+            cur.in_boiler = self._boiler_depth > 0
+            return
+        if cur.text:
+            self.blocks.append(cur)
         self._cur = Block(tag=next_tag, in_boiler=self._boiler_depth > 0)
 
     @staticmethod
@@ -171,18 +180,27 @@ class _BlockBuilder:
     def end(self, tag: str) -> None:
         # Pop the nearest matching open tag (tolerates unclosed tags).
         stack = self._tag_stack
-        for i in range(len(stack) - 1, -1, -1):
-            if stack[i][0] == tag:
-                # Everything above i is implicitly closed.
-                for _ in range(len(stack) - i):
-                    t, s, b = stack.pop()
-                    if s:
-                        self._skip_depth -= 1
-                    if b:
-                        self._boiler_depth -= 1
-                    if t == "a":
-                        self._link_depth -= 1
-                break
+        if stack and stack[-1][0] == tag:  # well-formed fast path
+            t, s, b = stack.pop()
+            if s:
+                self._skip_depth -= 1
+            if b:
+                self._boiler_depth -= 1
+            if t == "a":
+                self._link_depth -= 1
+        else:
+            for i in range(len(stack) - 1, -1, -1):
+                if stack[i][0] == tag:
+                    # Everything above i is implicitly closed.
+                    for _ in range(len(stack) - i):
+                        t, s, b = stack.pop()
+                        if s:
+                            self._skip_depth -= 1
+                        if b:
+                            self._boiler_depth -= 1
+                        if t == "a":
+                            self._link_depth -= 1
+                    break
         if tag in BLOCK_TAGS:
             self._flush()
 
@@ -208,23 +226,28 @@ def parse_blocks(html_text: str) -> List[Block]:
     try:
         pos = 0
         n = len(html_text)
+        search = _TOKEN_RE.search  # bound-method locals: the loop runs
+        bdata = b.data             # once per token, lookups add up
         while pos < n:
-            m = _TOKEN_RE.search(html_text, pos)
+            m = search(html_text, pos)
             if m is None:
-                b.data(html_text[pos:])
+                bdata(html_text[pos:])
                 break
-            if m.start() > pos:
-                b.data(html_text[pos:m.start()])
+            ms = m.start()
+            if ms > pos:
+                bdata(html_text[pos:ms])
             pos = m.end()
-            tag = m.group(2)
+            # one group() call for all four captures (4 separate calls
+            # per token were ~5% of kernel time)
+            closing, tag, attr_text, selfclose = m.group(1, 2, 3, 4)
             if tag is None:
                 continue  # comment / declaration / PI
             tag = tag.lower()
-            if m.group(1):  # </tag>
+            if closing:  # </tag>
                 b.end(tag)
             else:
-                attr_text = m.group(3) or ""
-                if m.group(4):  # <tag/>
+                attr_text = attr_text or ""
+                if selfclose:  # <tag/>
                     b.startend(tag)
                 elif tag in _RAWTEXT:
                     # consume raw content up to the matching close tag
