@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_all_event_value": R.union_all_event_value,
         "string_funcs_parts": R.string_funcs_parts,
         "distinct_parts_per_flag": R.distinct_parts_per_flag,
+        "map_funcs_order_status": R.map_funcs_order_status,
         # --- text analysis (training-data ops) ---
         "token_count": textops.token_count,
         "quality_score": textops.quality_score,
@@ -244,6 +245,7 @@ def oracle_sql() -> dict[str, str]:
         "union_all_event_value": R.union_all_oracle(),
         "string_funcs_parts": R.string_funcs_oracle(),
         "distinct_parts_per_flag": R.distinct_parts_oracle(),
+        "map_funcs_order_status": R.map_funcs_oracle(),
         "token_count": textops.token_count_oracle(),
         "quality_score": textops.quality_score_oracle(),
         "fingerprint_exact_dedup": textops.fingerprint_oracle(),

@@ -900,6 +900,42 @@ def string_funcs_oracle() -> str:
     """
 
 
+def map_funcs_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function coverage (§2.12): per-priority status->count map
+    built with ``map_from_entries`` over collected structs, read back
+    with ``element_at`` / ``map_keys``.  Output stays scalar (the
+    driver's pandas canonicalizer cannot hash map/dict cells); the
+    oracle computes the same scalars with conditional aggregation."""
+    orders = load(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mapped = per.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderstatus", "n")))
+        ).alias("by_status")
+    )
+    return (
+        mapped.select(
+            "o_orderpriority",
+            F.coalesce(F.element_at("by_status", "F"), F.lit(0)).alias("n_f"),
+            F.coalesce(F.element_at("by_status", "O"), F.lit(0)).alias("n_o"),
+            F.size(F.map_keys("by_status")).cast("long").alias("n_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def map_funcs_oracle() -> str:
+    return """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+
 def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) coverage — the distinct-aggregate path (Spark
     plans it as a two-phase expand + aggregate; still map-side partial
