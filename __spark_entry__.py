@@ -156,7 +156,34 @@ def entry(spark: SparkSession) -> DataFrame:
     return _extraction_flagship(spark, "/root/testdata/sf0.001")
 
 
+def _releasing(fn: Callable) -> Callable:
+    """Drop the previous query's tracked persisted blocks when the next
+    query is BUILT — queries are lazy, so they cannot unpersist their
+    own caches (the caller's action still needs them), but by the time
+    the driver harness builds the next query the previous one has been
+    collected.  This closes the long-lived-session block accumulation
+    on the driver path, which never calls release_caches() itself.
+    (If a caller interleaves build/collect, a released cache merely
+    recomputes — correctness is never at stake.)"""
+    import functools
+
+    from deepseek_ocr_2_spark.operators.cachereg import release_caches
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_caches()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        name: _releasing(fn) for name, fn in _raw_queries().items()
+    }
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- relational coverage (SURVEY §2.3-§2.7 analogs) ---
         "q1_pricing_summary": R.q1_pricing_summary,

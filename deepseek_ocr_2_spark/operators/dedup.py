@@ -356,9 +356,11 @@ def simhash_near_dups(
     """
     from itertools import combinations
 
-    docs_n = load(spark, sf_dir, "documents").count()
     if n_blocks is None:
-        n_blocks = simhash_block_count(docs_n, max_hamming)
+        # the count job runs only when the layout must be derived
+        n_blocks = simhash_block_count(
+            load(spark, sf_dir, "documents").count(), max_hamming
+        )
     keep = n_blocks - max_hamming
     assert keep >= 1, "n_blocks must exceed max_hamming"
     bounds = [round(i * 64 / n_blocks) for i in range(n_blocks + 1)]

@@ -221,6 +221,12 @@ def band_params(
     """
     import math
 
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(
+            f"threshold must be in (0, 1), got {threshold}: at 1.0 the "
+            "collision probability is exactly 1 (use exact dedup on the "
+            "vector bytes instead); at <=0 sign-LSH carries no signal"
+        )
     p = 1.0 - math.acos(threshold) / math.pi
     k = 1
     while True:

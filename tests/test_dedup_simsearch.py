@@ -198,3 +198,11 @@ def test_ann_plane_count_tracks_corpus():
     for n in (10**6, 10**9, 10**12):
         k = simsearch.ann_plane_count(n)
         assert n / 2**k <= simsearch.ANN_TARGET_BUCKET
+
+
+def test_band_params_rejects_degenerate_thresholds():
+    import pytest as _pytest
+
+    for bad in (1.0, 0.0, -0.5, 1.5):
+        with _pytest.raises(ValueError):
+            simsearch.band_params(bad)

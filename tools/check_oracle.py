@@ -38,8 +38,13 @@ SF_DIR = "/root/testdata/sf0.01"
 def canon(v):
     """Dtype-sensitive canonical form: int64 and float64 of equal value
     canonicalize DIFFERENTLY (``i:5`` vs ``f:5.0``), exactly as the
-    driver's pandas-frame hash treats them."""
-    if v is None:
+    driver's pandas-frame hash treats them.
+
+    Non-scalar cells RAISE TypeError, mirroring the driver's pandas
+    sort/hash canonicalizer — round 1 shipped two queries with
+    array<int> columns that only crashed in the driver; this gate must
+    crash on them locally."""
+    if v is None or v is pd.NaT:
         return "∅"
     if isinstance(v, (bool, np.bool_)):
         return "b:" + str(bool(v))
@@ -54,10 +59,12 @@ def canon(v):
         return "t:" + v.isoformat()
     if isinstance(v, (datetime.datetime, datetime.date)):
         return "t:" + v.isoformat()
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
-    if v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
-        return "∅"
+    if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+        raise TypeError(
+            f"unhashable cell type: {type(v).__name__} — the driver's "
+            "canonicalizer dies on non-scalar cells; serialize the "
+            "column (to_json / concat_ws) before registering the query"
+        )
     return "s:" + str(v)
 
 
