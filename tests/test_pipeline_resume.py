@@ -122,3 +122,27 @@ def test_expire_all_snapshots_resets_resume(spark, tmp_path):
     # resume now re-extracts everything — the retention contract
     snap = P.run_extraction(spark, pages, out, CFG)
     assert snap.doc_count == 20
+
+
+def test_partitioned_snapshot_output_prunes(spark, tmp_path):
+    """partition_by=('lang',) writes hive-style partition dirs and a
+    lang filter on the committed view reaches the scan as a partition
+    filter (pruning, not a full-snapshot scan)."""
+    out = str(tmp_path / "out")
+    pages = C.build_corpus(spark, SF_TINY).limit(60)
+    snap = P.run_extraction(spark, pages, out, CFG, partition_by=("lang",))
+    data = os.path.join(out, "data", f"snapshot={snap.snapshot_id}")
+    langs = [d for d in os.listdir(data) if d.startswith("lang=")]
+    assert len(langs) >= 2  # hive-style directories exist
+
+    df = P.committed_results(spark, out).filter("lang = 'en'")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan
+    rows = df.collect()
+    assert rows and all(r.lang == "en" for r in rows)
+    # unpartitioned resume semantics unchanged: all urls committed
+    assert snap.doc_count == 60

@@ -41,6 +41,13 @@ def main() -> None:
         "generator a second time)",
     )
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--partition-by",
+        default=None,
+        help="comma-separated low-cardinality output partition columns "
+        "(e.g. 'lang') — hive-style dirs inside the snapshot so "
+        "filtered consumers get partition pruning",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -75,6 +82,11 @@ def main() -> None:
         cfg,
         input_snapshot_id=args.input_snapshot_id,
         resume=not args.no_resume,
+        partition_by=(
+            tuple(c.strip() for c in args.partition_by.split(","))
+            if args.partition_by
+            else None
+        ),
     )
     print(
         json.dumps(
