@@ -143,6 +143,39 @@ def expire_snapshots(output_dir: str, keep_n: int) -> List[str]:
     return expired_ids
 
 
+def clean_orphans(output_dir: str) -> List[str]:
+    """Delete snapshot directories that no manifest entry references.
+
+    Two sources of orphans: (a) a run that crashed between writing its
+    data files and committing the manifest (invisible by design — this
+    reclaims the space), and (b) ``expire_snapshots`` sweeps interrupted
+    after the manifest commit.  Safe under the lock: the referenced set
+    is read while holding it, so a concurrent committer's
+    about-to-be-committed snapshot cannot be swept — EXCEPT a run whose
+    files exist but whose ``_append_snapshot`` has not started; callers
+    run this only when no extraction job is active (the maintenance
+    window), same contract as Iceberg's remove_orphan_files.
+    """
+    import shutil
+
+    with _manifest_lock(output_dir):
+        referenced = {s["snapshot_id"] for s in read_manifest(output_dir)}
+        orphans = []
+        for sub in ("data", "metrics"):
+            root = os.path.join(output_dir, sub)
+            if not os.path.isdir(root):
+                continue
+            for name in os.listdir(root):
+                if not name.startswith("snapshot="):
+                    continue
+                sid = name[len("snapshot="):]
+                if sid not in referenced:
+                    orphans.append(os.path.join(root, name))
+    for path in orphans:
+        shutil.rmtree(path, ignore_errors=True)
+    return orphans
+
+
 def committed_data_paths(
     output_dir: str, as_of: Optional[str] = None
 ) -> List[str]:

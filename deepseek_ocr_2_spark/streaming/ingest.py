@@ -223,6 +223,57 @@ def dedup_page_stream(
     )
 
 
+def stream_stream_click_purchase_join(
+    events: DataFrame,
+    lookback: str = "2 hours",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase event joined to the
+    same user's clicks within the preceding ``lookback``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on BOTH ends (``purchase - lookback <= click < purchase``), so
+    Spark can expire join state: a click older than
+    ``watermark + lookback`` can never match a future purchase and is
+    dropped from the state store — bounded state at any ingest rate,
+    the streaming analog of the batch as-of join
+    (``relational.asof_join_purchase_click``).
+    """
+    # watermarks require TIMESTAMP (with zone); the events parquet is
+    # TIMESTAMP_NTZ — cast once, monotone, applied to both sides
+    ts = F.col("ts").cast("timestamp")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            ts.alias("click_ts"),
+            F.col("event_id").alias("click_event_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            ts.alias("purchase_ts"),
+            F.col("event_id").alias("purchase_event_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")
+        ),
+    ).select(
+        "purchase_event_id", "user_id", "purchase_ts",
+        "click_event_id", "click_ts",
+    )
+
+
 def windowed_failure_counts(pages_with_results: DataFrame) -> DataFrame:
     """Event-time windowed failure rollup with a watermark (monitoring).
 

@@ -146,3 +146,24 @@ def test_partitioned_snapshot_output_prunes(spark, tmp_path):
     assert rows and all(r.lang == "en" for r in rows)
     # unpartitioned resume semantics unchanged: all urls committed
     assert snap.doc_count == 60
+
+
+def test_clean_orphans_sweeps_only_unreferenced(spark, tmp_path):
+    out = str(tmp_path / "out")
+    pages = C.build_corpus(spark, SF_TINY).limit(40)
+    snap = P.run_extraction(spark, pages, out, CFG)
+    # crashed run: data written, manifest never committed
+    orphan = os.path.join(out, "data", "snapshot=deadbeef0000")
+    pages.limit(5).write.mode("overwrite").parquet(orphan)
+
+    removed = P.clean_orphans(out)
+    assert removed == [orphan]
+    assert not os.path.exists(orphan)
+    # the committed snapshot is untouched and still readable
+    assert os.path.exists(
+        os.path.join(out, "data", f"snapshot={snap.snapshot_id}")
+    )
+    assert P.committed_results(spark, out).count() == 40
+    # idempotent; lock released
+    assert P.clean_orphans(out) == []
+    assert not os.path.exists(os.path.join(out, "MANIFEST.lock"))

@@ -171,3 +171,48 @@ def test_streaming_dedup_within_watermark(spark, tmp_path, corpus_df):
     # 40 distinct fingerprints in, 10 in-horizon re-crawls dropped
     assert len(rows) == 40
     assert len({r.fingerprint for r in rows}) == 40
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join emits exactly the
+    pairs the equivalent batch join produces on the same files."""
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    drop = str(tmp_path / "events_drop")
+    events_batch = spark.read.parquet(src)
+    events_batch.write.mode("overwrite").parquet(drop)
+
+    stream = spark.readStream.schema(events_batch.schema).parquet(drop)
+    joined = ingest.stream_stream_click_purchase_join(stream)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ssckpt"))
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not drain"
+    got = {
+        (r.purchase_event_id, r.click_event_id)
+        for r in spark.sql("select * from ss_join_sink").collect()
+    }
+
+    c = events_batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+    )
+    p = events_batch.filter(F.col("event_type") == "purchase")
+    want = {
+        (r.event_id, r.cid)
+        for r in p.join(
+            c,
+            (p.user_id == c.cu)
+            & (c.cts < p.ts)
+            & (c.cts >= p.ts - F.expr("INTERVAL 2 HOURS")),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
