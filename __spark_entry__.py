@@ -213,6 +213,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs_parts": R.string_funcs_parts,
         "distinct_parts_per_flag": R.distinct_parts_per_flag,
         "map_funcs_order_status": R.map_funcs_order_status,
+        "q19_disjunctive_filter": R.q19_disjunctive_filter,
+        "posexplode_tokens": R.posexplode_tokens,
         # --- text analysis (training-data ops) ---
         "token_count": textops.token_count,
         "quality_score": textops.quality_score,
@@ -273,6 +275,8 @@ def oracle_sql() -> dict[str, str]:
         "string_funcs_parts": R.string_funcs_oracle(),
         "distinct_parts_per_flag": R.distinct_parts_oracle(),
         "map_funcs_order_status": R.map_funcs_oracle(),
+        "q19_disjunctive_filter": R.q19_oracle(),
+        "posexplode_tokens": R.posexplode_oracle(),
         "token_count": textops.token_count_oracle(),
         "quality_score": textops.quality_score_oracle(),
         "fingerprint_exact_dedup": textops.fingerprint_oracle(),

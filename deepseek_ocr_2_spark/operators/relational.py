@@ -900,6 +900,105 @@ def string_funcs_oracle() -> str:
     """
 
 
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunction of conjunctive predicates across a
+    join — the OR-of-ANDs shape that exercises predicate pushdown and
+    join-condition splitting in the optimizer."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_type") == "SMALL")
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+            & (F.col("p_size") <= 5)
+        )
+        | (
+            (F.col("p_type") == "MEDIUM")
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+            & (F.col("p_size") <= 10)
+        )
+        | (
+            (F.col("p_type") == "LARGE")
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 30)
+            & (F.col("p_size") <= 15)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents"),
+        )
+        .orderBy("p_type")
+    )
+
+
+def q19_oracle() -> str:
+    return """
+    SELECT p_type, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_type = 'SMALL'  AND l_quantity BETWEEN 1  AND 11 AND p_size <= 5)
+       OR (p_type = 'MEDIUM' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
+       OR (p_type = 'LARGE'  AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
+    GROUP BY p_type ORDER BY p_type
+    """
+
+
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/UDTF surface: posexplode of a computed token array —
+    one row per (doc, position), re-aggregated to first-token stats.
+    Oracle: DuckDB UNNEST ... WITH ORDINALITY."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.slice(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+                ),
+                1,
+                5,
+            )
+        ).alias("pos", "token"),
+    )
+    return (
+        toks.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("token").alias("n_distinct_tokens"),
+            F.min("token").alias("first_token"),
+        )
+        .orderBy("pos")
+    )
+
+
+def posexplode_oracle() -> str:
+    return """
+    WITH d AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+')[1:5] AS ts
+      FROM documents
+    ), toks AS (
+      -- index explode via generate_series (this DuckDB build has no
+      -- WITH ORDINALITY); pos is 0-based like Spark's posexplode
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ts[i] AS token
+      FROM d, UNNEST(generate_series(1, len(ts))) AS g(i)
+    )
+    SELECT pos, COUNT(*) AS n_docs,
+           COUNT(DISTINCT token) AS n_distinct_tokens,
+           MIN(token) AS first_token
+    FROM toks GROUP BY pos ORDER BY pos
+    """
+
+
 def map_funcs_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-function coverage (§2.12): per-priority status->count map
     built with ``map_from_entries`` over collected structs, read back
