@@ -77,9 +77,27 @@ def salted_join(
     broadcast is ruled out by the small side not fitting in memory but
     the hot-key reducer is the bottleneck.  Result columns match the
     plain join (salt dropped).
+
+    Only big-side-preserving join types are supported: with the small
+    side replicated, ``right``/``full`` would emit one unmatched row
+    PER SALT REPLICA (plus null rows for matched keys' unused salts) —
+    not the plain-join result.  Deduplicate the small side first if you
+    need outer semantics.
     """
     if salt_factor < 1:
         raise ValueError("salt_factor must be >= 1")
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} — '{how}' would "
+            "multiply unmatched small-side rows by salt_factor"
+        )
+    if "_salt" in big.columns or "_salt" in small.columns:
+        raise ValueError(
+            "input already has a '_salt' column; rename it before "
+            "salted_join (it would be overwritten and then dropped)"
+        )
     salted_big = big.withColumn(
         "_salt",
         F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt_factor)).cast(

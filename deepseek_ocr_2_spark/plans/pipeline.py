@@ -50,6 +50,13 @@ class Snapshot:
     committed_at: str
     doc_count: int
     failure_count: int
+    # output layout, recorded so every reader/resumer agrees with it:
+    # mixing partitioned and unpartitioned snapshots in one output dir
+    # is unreadable (CONFLICTING_DIRECTORY_STRUCTURES), and hive
+    # partition-type inference silently rewrites numeric-looking string
+    # partition values unless the reader gets the written schema back
+    partition_by: Optional[list] = None
+    schema_json: Optional[str] = None
 
 
 def _manifest_path(output_dir: str) -> str:
@@ -143,23 +150,27 @@ def expire_snapshots(output_dir: str, keep_n: int) -> List[str]:
     return expired_ids
 
 
-def clean_orphans(output_dir: str) -> List[str]:
+def clean_orphans(output_dir: str, older_than_s: float = 0.0) -> List[str]:
     """Delete snapshot directories that no manifest entry references.
 
     Two sources of orphans: (a) a run that crashed between writing its
     data files and committing the manifest (invisible by design — this
     reclaims the space), and (b) ``expire_snapshots`` sweeps interrupted
-    after the manifest commit.  Safe under the lock: the referenced set
-    is read while holding it, so a concurrent committer's
-    about-to-be-committed snapshot cannot be swept — EXCEPT a run whose
-    files exist but whose ``_append_snapshot`` has not started; callers
-    run this only when no extraction job is active (the maintenance
-    window), same contract as Iceberg's remove_orphan_files.
+    after the manifest commit.  Scan AND delete happen under the lock:
+    a committer blocked in ``_append_snapshot`` cannot slip its commit
+    between our scan and our delete (that window previously existed and
+    would have left the manifest referencing deleted files).  A run
+    whose files exist but whose commit has not STARTED is still
+    sweepable — pass ``older_than_s`` (e.g. 86400) so only directories
+    untouched for that long qualify, the same age guard Iceberg's
+    remove_orphan_files uses, and/or run only when no extraction job is
+    active (the maintenance window).
     """
     import shutil
 
     with _manifest_lock(output_dir):
         referenced = {s["snapshot_id"] for s in read_manifest(output_dir)}
+        now = time.time()
         orphans = []
         for sub in ("data", "metrics"):
             root = os.path.join(output_dir, sub)
@@ -169,10 +180,17 @@ def clean_orphans(output_dir: str) -> List[str]:
                 if not name.startswith("snapshot="):
                     continue
                 sid = name[len("snapshot="):]
-                if sid not in referenced:
-                    orphans.append(os.path.join(root, name))
-    for path in orphans:
-        shutil.rmtree(path, ignore_errors=True)
+                path = os.path.join(root, name)
+                if sid in referenced:
+                    continue
+                try:
+                    if now - os.path.getmtime(path) < older_than_s:
+                        continue  # too fresh: possibly mid-commit
+                except OSError:
+                    continue
+                orphans.append(path)
+        for path in orphans:
+            shutil.rmtree(path, ignore_errors=True)
     return orphans
 
 
@@ -193,13 +211,32 @@ def committed_data_paths(
     return paths
 
 
+def committed_layout(output_dir: str) -> tuple:
+    """(partition_by, schema_json) of the committed snapshots (all
+    committed snapshots share one layout — enforced at commit time)."""
+    snaps = read_manifest(output_dir)
+    if not snaps:
+        return None, None
+    last = snaps[-1]
+    pb = last.get("partition_by")
+    return (tuple(pb) if pb else None), last.get("schema_json")
+
+
 def committed_results(
     spark: SparkSession, output_dir: str, as_of: Optional[str] = None
 ) -> Optional[DataFrame]:
     paths = committed_data_paths(output_dir, as_of)
     if not paths:
         return None
-    return spark.read.parquet(*paths)
+    _, schema_json = committed_layout(output_dir)
+    reader = spark.read
+    if schema_json is not None:
+        # the written schema pins partition-column types: without it,
+        # hive partition inference turns a string '001' into int 1
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+    return reader.parquet(*paths)
 
 
 def committed_urls(spark: SparkSession, output_dir: str) -> Optional[DataFrame]:
@@ -232,6 +269,19 @@ def run_extraction(
     """
     cfg = cfg or ExtractConfig()
     os.makedirs(output_dir, exist_ok=True)
+    partition_by = tuple(partition_by) if partition_by else None
+
+    # layout must match every committed snapshot: parquet cannot read
+    # partitioned and unpartitioned snapshot dirs together
+    # (CONFLICTING_DIRECTORY_STRUCTURES), so fail fast, before the
+    # expensive extraction stage
+    prior_pb, _ = committed_layout(output_dir)
+    if read_manifest(output_dir) and prior_pb != partition_by:
+        raise ValueError(
+            f"output dir has committed snapshots partitioned by "
+            f"{prior_pb}; this run requested {partition_by} — one "
+            "layout per output dir (expire all snapshots to change it)"
+        )
 
     if resume:
         done = committed_urls(spark, output_dir)
@@ -242,6 +292,7 @@ def run_extraction(
     results = extract_pages(pages, cfg).withColumn(
         "partition_id", F.spark_partition_id()
     )
+    schema_json = results.schema.json()
 
     data_path = os.path.join(output_dir, "data", f"snapshot={snapshot_id}")
     writer = results.write.mode("overwrite")
@@ -250,8 +301,13 @@ def run_extraction(
     writer.parquet(data_path)
 
     # Lineage/metrics from the *written* snapshot (single source of truth;
-    # no recompute of the kernel stage).
-    written = spark.read.parquet(data_path)
+    # no recompute of the kernel stage).  Read back with the written
+    # schema so partition-column types survive (see committed_results).
+    from pyspark.sql.types import StructType
+
+    written = spark.read.schema(
+        StructType.fromJson(json.loads(schema_json))
+    ).parquet(data_path)
     metrics = (
         written.groupBy("partition_id")
         .agg(
@@ -282,6 +338,8 @@ def run_extraction(
         committed_at=time.strftime("%Y-%m-%dT%H:%M:%S"),
         doc_count=int(totals["docs"] or 0),
         failure_count=int(totals["failures"] or 0),
+        partition_by=list(partition_by) if partition_by else None,
+        schema_json=schema_json,
     )
     _append_snapshot(output_dir, snap.__dict__)
     return snap

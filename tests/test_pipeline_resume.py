@@ -135,12 +135,10 @@ def test_partitioned_snapshot_output_prunes(spark, tmp_path):
     langs = [d for d in os.listdir(data) if d.startswith("lang=")]
     assert len(langs) >= 2  # hive-style directories exist
 
+    from .conftest import formatted_plan
+
     df = P.committed_results(spark, out).filter("lang = 'en'")
-    plan = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
+    plan = formatted_plan(df)
     assert "PartitionFilters: [isnotnull(lang" in plan, plan
     rows = df.collect()
     assert rows and all(r.lang == "en" for r in rows)
@@ -167,3 +165,42 @@ def test_clean_orphans_sweeps_only_unreferenced(spark, tmp_path):
     # idempotent; lock released
     assert P.clean_orphans(out) == []
     assert not os.path.exists(os.path.join(out, "MANIFEST.lock"))
+
+
+def test_partition_layout_is_locked_per_output_dir(spark, tmp_path):
+    """Mixing partitioned and unpartitioned snapshots in one output dir
+    is unreadable (CONFLICTING_DIRECTORY_STRUCTURES) — the second run
+    must fail fast, BEFORE extraction, and the manifest records the
+    layout + written schema so readers pin partition-column types."""
+    import pytest as _pytest
+
+    out = str(tmp_path / "out")
+    pages = C.build_corpus(spark, SF_TINY).limit(20)
+    P.run_extraction(spark, pages, out, CFG, partition_by=("lang",))
+    pb, schema_json = P.committed_layout(out)
+    assert pb == ("lang",) and schema_json is not None
+
+    with _pytest.raises(ValueError, match="one layout per output dir"):
+        P.run_extraction(spark, pages, out, CFG)  # unpartitioned: reject
+    with _pytest.raises(ValueError, match="one layout per output dir"):
+        P.run_extraction(
+            spark, pages, out, CFG, partition_by=("payload_type",)
+        )
+    # same layout resumes fine, and the read-back schema keeps the
+    # written types (incl. the partition column)
+    P.run_extraction(spark, pages, out, CFG, partition_by=("lang",))
+    res = P.committed_results(spark, out)
+    assert dict(res.dtypes)["lang"] == "string"
+    assert res.count() == 20
+
+
+def test_clean_orphans_age_guard(spark, tmp_path):
+    out = str(tmp_path / "out")
+    pages = C.build_corpus(spark, SF_TINY).limit(10)
+    P.run_extraction(spark, pages, out, CFG)
+    orphan = os.path.join(out, "data", "snapshot=freshorphan0")
+    pages.limit(2).write.mode("overwrite").parquet(orphan)
+    # a just-written dir is spared by the age guard (possibly mid-commit)
+    assert P.clean_orphans(out, older_than_s=3600) == []
+    assert os.path.exists(orphan)
+    assert P.clean_orphans(out) == [orphan]  # no guard: swept

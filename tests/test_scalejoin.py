@@ -10,16 +10,7 @@ from pyspark.sql import functions as F
 
 from deepseek_ocr_2_spark.operators import scalejoin as SJ
 
-from .conftest import SF_SMALL
-
-
-def _plan(df) -> str:
-    spark = df.sparkSession
-    return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
+from .conftest import SF_SMALL, formatted_plan
 
 
 def test_bucketed_join_plans_without_exchange(spark, tmp_path):
@@ -39,7 +30,7 @@ def test_bucketed_join_plans_without_exchange(spark, tmp_path):
         joined = SJ.bucketed_join(
             spark, "t_orders_b", "t_lineitem_b", "o_orderkey"
         )
-        tree = _plan(joined).split("== Physical Plan ==")[-1].split(
+        tree = formatted_plan(joined).split("== Physical Plan ==")[-1].split(
             "\n\n(1)"
         )[0]
         assert "Exchange" not in tree, tree  # co-located: no shuffle
@@ -96,3 +87,19 @@ def test_hot_keys_detects_the_giant(spark):
     )
     hot = SJ.hot_keys(df, "host", threshold=100)
     assert hot == ["giant"]
+
+
+def test_salted_join_rejects_small_side_outer_types(spark):
+    df = spark.range(2).select(F.lit("a").alias("k"), "id")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        SJ.salted_join(df, df.select("k"), "k", "id", 4, how="right")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        SJ.salted_join(df, df.select("k"), "k", "id", 4, how="full")
+
+
+def test_salted_join_rejects_salt_column_collision(spark):
+    df = spark.range(2).select(
+        F.lit("a").alias("k"), F.lit(1).alias("_salt"), "id"
+    )
+    with pytest.raises(ValueError, match="_salt"):
+        SJ.salted_join(df, df.select("k"), "k", "id", 4)

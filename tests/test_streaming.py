@@ -178,7 +178,7 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     pairs the equivalent batch join produces on the same files."""
     from pyspark.sql import functions as F
 
-    src = "/root/testdata/sf0.001/events.parquet"
+    src = f"{SF_TINY}/events.parquet"
     drop = str(tmp_path / "events_drop")
     events_batch = spark.read.parquet(src)
     events_batch.write.mode("overwrite").parquet(drop)

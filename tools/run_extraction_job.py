@@ -83,7 +83,13 @@ def main() -> None:
         input_snapshot_id=args.input_snapshot_id,
         resume=not args.no_resume,
         partition_by=(
-            tuple(c.strip() for c in args.partition_by.split(","))
+            tuple(
+                c.strip()
+                for c in args.partition_by.split(",")
+                if c.strip()  # tolerate trailing commas: '' would fail
+                # deep inside the write AFTER the extraction stage ran
+            )
+            or None
             if args.partition_by
             else None
         ),
