@@ -62,16 +62,12 @@ def detect_hot_hosts(spark, corpus_path: str, threshold: int = 200) -> tuple:
     from pyspark.sql import functions as F
 
     from deepseek_ocr_2_spark.operators.extract import HOST_REGEX
+    from deepseek_ocr_2_spark.operators.scalejoin import hot_keys
 
-    rows = (
-        spark.read.parquet(corpus_path)
-        .select(F.lower(F.regexp_extract("url", HOST_REGEX, 1)).alias("host"))
-        .groupBy("host")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > threshold)
-        .collect()
+    hosts = spark.read.parquet(corpus_path).select(
+        F.lower(F.regexp_extract("url", HOST_REGEX, 1)).alias("host")
     )
-    return tuple(r["host"] for r in rows)
+    return tuple(hot_keys(hosts, "host", threshold))
 
 
 def time_extraction(spark, corpus_path: str, hot_hosts: tuple) -> tuple[float, int]:

@@ -228,8 +228,13 @@ def band_params(
             "vector bytes instead); at <=0 sign-LSH carries no signal"
         )
     p = 1.0 - math.acos(threshold) / math.pi
+    # k caps at 62: band keys pack k bits into an int64 (shifts >= 64
+    # are UB and silently corrupt keys), and near threshold 1.0 the
+    # growth loop would otherwise run millions of iterations (p -> 1
+    # makes every k admissible)
+    MAX_K = 62
     k = 1
-    while True:
+    while k < MAX_K:
         nxt = k + 1
         need = math.ceil(math.log(miss_prob) / math.log(1.0 - p**nxt))
         if need > max_bands:
@@ -259,8 +264,28 @@ def banded_lsh_keys(
     """(vec_id, band, key) rows — L rows per vector, one vectorized
     matmul per Arrow batch.  The (band, key) pair is the self-join key
     for candidate generation; at scale expected bucket size is
-    n * 0.5^k for non-duplicate data, so the join stays linear."""
+    n * 0.5^k for non-duplicate data, so the join stays linear.
+
+    Emits a RuntimeWarning when the threshold sits in the regime where
+    banded sign-LSH cannot prune (random-pair candidate rate >= 0.5):
+    the pipeline stays correct (the exact rerank filters), but the
+    candidate stage degenerates toward all-pairs — at production scale
+    use thresholds >= ~0.7 where the bands do real work.
+    """
     k, bands = band_params(threshold)
+    random_rate = 1.0 - (1.0 - 0.5**k) ** bands
+    if random_rate >= 0.5:
+        import warnings
+
+        warnings.warn(
+            f"banded LSH at threshold {threshold} admits "
+            f"~{random_rate:.0%} of random pairs as candidates "
+            f"(k={k}, bands={bands}) — no pruning at this threshold; "
+            "results stay exact via the rerank, but candidate "
+            "generation approaches all-pairs",
+            RuntimeWarning,
+            stacklevel=3,
+        )
     pw = (1 << np.arange(k)).astype(np.int64)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -377,7 +402,7 @@ def lsh_buckets(
     """
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     if n_planes is None:
-        n_planes = ann_plane_count(emb.count())
+        n_planes = min(62, ann_plane_count(emb.count()))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         planes = None

@@ -114,8 +114,35 @@ class _manifest_lock:
 
 
 def _append_snapshot(output_dir: str, snap: dict, timeout_s: float = 60.0) -> None:
+    """Commit one snapshot entry — layout/schema re-VALIDATED under the
+    lock: the early fail-fast in run_extraction is check-then-act (two
+    concurrent first runs with different layouts both see an empty
+    manifest), so the authoritative check happens here, where appends
+    serialize.  A loser raises and stays uncommitted (its files are
+    orphans for clean_orphans), never corrupting the directory."""
     with _manifest_lock(output_dir, timeout_s):
         snapshots = read_manifest(output_dir)
+        if snapshots:
+            prior = snapshots[-1]
+            if prior.get("partition_by") != snap.get("partition_by"):
+                raise ValueError(
+                    "commit rejected: output dir is partitioned by "
+                    f"{prior.get('partition_by')}, this snapshot by "
+                    f"{snap.get('partition_by')} — mixed layouts are "
+                    "unreadable (one layout per output dir)"
+                )
+            if (
+                prior.get("schema_json") is not None
+                and snap.get("schema_json") is not None
+                and prior["schema_json"] != snap["schema_json"]
+            ):
+                raise ValueError(
+                    "commit rejected: snapshot schema differs from the "
+                    "committed snapshots' schema (e.g. a config toggle "
+                    "like include_raw_output) — readers pin one schema "
+                    "per output dir; use a new output dir or expire "
+                    "existing snapshots"
+                )
         snapshots.append(snap)
         _commit_manifest(output_dir, snapshots)
 
@@ -150,28 +177,32 @@ def expire_snapshots(output_dir: str, keep_n: int) -> List[str]:
     return expired_ids
 
 
-def clean_orphans(output_dir: str, older_than_s: float = 0.0) -> List[str]:
+def clean_orphans(output_dir: str, older_than_s: float = 3600.0) -> List[str]:
     """Delete snapshot directories that no manifest entry references.
 
     Two sources of orphans: (a) a run that crashed between writing its
     data files and committing the manifest (invisible by design — this
     reclaims the space), and (b) ``expire_snapshots`` sweeps interrupted
-    after the manifest commit.  Scan AND delete happen under the lock:
-    a committer blocked in ``_append_snapshot`` cannot slip its commit
-    between our scan and our delete (that window previously existed and
-    would have left the manifest referencing deleted files).  A run
-    whose files exist but whose commit has not STARTED is still
-    sweepable — pass ``older_than_s`` (e.g. 86400) so only directories
-    untouched for that long qualify, the same age guard Iceberg's
-    remove_orphan_files uses, and/or run only when no extraction job is
-    active (the maintenance window).
+    after the manifest commit.
+
+    Concurrency design: the scan and a cheap atomic RENAME to a trash
+    name happen under the manifest lock (a committer blocked in
+    ``_append_snapshot`` cannot slip its commit between our scan and our
+    removal), while the expensive recursive delete happens AFTER the
+    lock releases — at 100 TB an rmtree takes minutes and holding the
+    lock that long would time out every concurrent committer.  A run
+    whose files exist but whose commit has not STARTED is protected by
+    ``older_than_s`` (default 1h; Iceberg's remove_orphan_files uses
+    the same age-guard contract — raise it for long-running writers,
+    pass 0 only in a maintenance window with no jobs active).  Returns
+    the original orphan paths.
     """
     import shutil
 
+    trashed = []  # (original_path, trash_path)
     with _manifest_lock(output_dir):
         referenced = {s["snapshot_id"] for s in read_manifest(output_dir)}
         now = time.time()
-        orphans = []
         for sub in ("data", "metrics"):
             root = os.path.join(output_dir, sub)
             if not os.path.isdir(root):
@@ -188,10 +219,15 @@ def clean_orphans(output_dir: str, older_than_s: float = 0.0) -> List[str]:
                         continue  # too fresh: possibly mid-commit
                 except OSError:
                     continue
-                orphans.append(path)
-        for path in orphans:
-            shutil.rmtree(path, ignore_errors=True)
-    return orphans
+                trash = os.path.join(root, f".trash-{uuid.uuid4().hex[:8]}-{sid}")
+                try:
+                    os.rename(path, trash)  # atomic removal from namespace
+                except OSError:
+                    continue
+                trashed.append((path, trash))
+    for _, trash in trashed:
+        shutil.rmtree(trash, ignore_errors=True)  # slow part: lock-free
+    return [orig for orig, _ in trashed]
 
 
 def committed_data_paths(

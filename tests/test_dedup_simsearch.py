@@ -206,3 +206,24 @@ def test_band_params_rejects_degenerate_thresholds():
     for bad in (1.0, 0.0, -0.5, 1.5):
         with _pytest.raises(ValueError):
             simsearch.band_params(bad)
+
+
+def test_band_params_bounded_at_extreme_thresholds():
+    """Near-1.0 thresholds must neither hang nor overflow the int64
+    band-key packing (k capped at 62)."""
+    k, bands = simsearch.band_params(0.9999)
+    assert 1 <= k <= 62 and bands >= 1
+    k2, _ = simsearch.band_params(1 - 1e-12)
+    assert k2 <= 62
+
+
+def test_banded_lsh_warns_when_threshold_cannot_prune(spark):
+    import warnings
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        simsearch.banded_lsh_keys(emb, 0.35).count()
+    assert any("no pruning" in str(x.message) for x in w)

@@ -154,7 +154,7 @@ def test_clean_orphans_sweeps_only_unreferenced(spark, tmp_path):
     orphan = os.path.join(out, "data", "snapshot=deadbeef0000")
     pages.limit(5).write.mode("overwrite").parquet(orphan)
 
-    removed = P.clean_orphans(out)
+    removed = P.clean_orphans(out, older_than_s=0)
     assert removed == [orphan]
     assert not os.path.exists(orphan)
     # the committed snapshot is untouched and still readable
@@ -163,7 +163,7 @@ def test_clean_orphans_sweeps_only_unreferenced(spark, tmp_path):
     )
     assert P.committed_results(spark, out).count() == 40
     # idempotent; lock released
-    assert P.clean_orphans(out) == []
+    assert P.clean_orphans(out, older_than_s=0) == []
     assert not os.path.exists(os.path.join(out, "MANIFEST.lock"))
 
 
@@ -203,4 +203,32 @@ def test_clean_orphans_age_guard(spark, tmp_path):
     # a just-written dir is spared by the age guard (possibly mid-commit)
     assert P.clean_orphans(out, older_than_s=3600) == []
     assert os.path.exists(orphan)
-    assert P.clean_orphans(out) == [orphan]  # no guard: swept
+    assert P.clean_orphans(out, older_than_s=0) == [orphan]  # no guard: swept
+
+
+def test_commit_time_layout_validation_under_lock(spark, tmp_path):
+    """The authoritative layout/schema check happens inside
+    _append_snapshot under the manifest lock (the run_extraction
+    fail-fast is check-then-act and two concurrent first runs could
+    both pass it)."""
+    import pytest as _pytest
+
+    out = str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    base = {"snapshot_id": "aaa", "committed_at": "t", "doc_count": 1,
+            "failure_count": 0, "partition_by": ["lang"],
+            "schema_json": '{"type":"struct","fields":[]}'}
+    P._append_snapshot(out, base)
+    # conflicting layout rejected at commit time
+    bad = dict(base, snapshot_id="bbb", partition_by=None)
+    with _pytest.raises(ValueError, match="mixed layouts"):
+        P._append_snapshot(out, bad)
+    # conflicting schema rejected at commit time
+    bad2 = dict(base, snapshot_id="ccc",
+                schema_json='{"type":"struct","fields":[1]}')
+    with _pytest.raises(ValueError, match="schema differs"):
+        P._append_snapshot(out, bad2)
+    # matching layout+schema commits; lock always released
+    P._append_snapshot(out, dict(base, snapshot_id="ddd"))
+    assert [s["snapshot_id"] for s in P.read_manifest(out)] == ["aaa", "ddd"]
+    assert not os.path.exists(os.path.join(out, "MANIFEST.lock"))

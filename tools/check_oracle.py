@@ -128,8 +128,16 @@ def main():
         ocols = list(opdf.columns)
         ok_cols = sorted(scols) == sorted(ocols)
         ok_count = len(spdf) == len(opdf)
-        sset = frame_rowset(spdf)
-        oset = frame_rowset(opdf) if ok_cols else []
+        try:
+            sset = frame_rowset(spdf)
+            oset = frame_rowset(opdf) if ok_cols else []
+        except TypeError as exc:
+            # an unhashable cell on the ORACLE path must record a
+            # failure for this query and keep the gate running — not
+            # abort with a traceback leaving the rest unchecked
+            print(f"  {name}: FAIL CANON-ERROR: {exc}")
+            failures.append(name)
+            continue
         ok_vals = sset == oset
         status = "OK " if (ok_cols and ok_count and ok_vals) else "FAIL"
         print(

@@ -154,18 +154,32 @@ class _PokedChild:
 
     def __init__(self, script: str, cpus: int, *args: str) -> None:
         self.cpus = cpus
+        # stderr to a file, not DEVNULL: a dead child (OOM, import
+        # error) must be diagnosable from its tail
+        self.errfile = tempfile.NamedTemporaryFile(
+            mode="w+", prefix=f"scaling_child_{cpus}_", suffix=".err",
+            delete=False,
+        )
         self.proc = subprocess.Popen(
             ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c",
              script, str(cpus), *args],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL, text=True, bufsize=1, cwd=REPO,
+            stderr=self.errfile, text=True, bufsize=1, cwd=REPO,
+        )
+
+    def _die(self, when: str) -> None:
+        self.errfile.flush()
+        with open(self.errfile.name) as f:
+            tail = f.read()[-3000:]
+        raise RuntimeError(
+            f"child @{self.cpus} died {when}; stderr tail:\n{tail}"
         )
 
     def wait_ready(self) -> None:
         for line in self.proc.stdout:
             if line.strip() == "READY":
                 return
-        raise RuntimeError(f"child @{self.cpus} died before READY")
+        self._die("before READY")
 
     def run_once(self) -> dict:
         self.proc.stdin.write("RUN\n")
@@ -173,7 +187,7 @@ class _PokedChild:
         for line in self.proc.stdout:
             if line.startswith("WALL "):
                 return json.loads(line[len("WALL "):])
-        raise RuntimeError(f"child @{self.cpus} died mid-run")
+        self._die("mid-run")
 
     def close(self) -> None:
         try:
@@ -182,6 +196,11 @@ class _PokedChild:
         except BrokenPipeError:
             pass
         self.proc.wait(timeout=120)
+        try:
+            self.errfile.close()
+            os.unlink(self.errfile.name)
+        except OSError:
+            pass
 
 
 def _four_way_measure(corpus_path: str) -> tuple[dict, dict, list]:
