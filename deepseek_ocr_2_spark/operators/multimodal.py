@@ -94,11 +94,8 @@ def page_metadata(pages: DataFrame) -> DataFrame:
 
 
 RESIZED_META_SCHEMA = StructType(
-    [
-        StructField("url", StringType(), False),
-        StructField("page_index", IntegerType(), False),
-        StructField("width", IntegerType(), False),
-        StructField("height", IntegerType(), False),
+    PAGE_META_SCHEMA.fields
+    + [
         StructField("resized_w", IntegerType(), False),
         StructField("resized_h", IntegerType(), False),
         StructField("was_capped", StringType(), False),
@@ -107,10 +104,13 @@ RESIZED_META_SCHEMA = StructType(
 
 
 def resized_page_metadata(pages: DataFrame, max_size: int = 4096) -> DataFrame:
-    """Resize plumbing: target dims per page under the huge-payload
-    guard (``resize_dims``, reference P6).  The pixel resample itself
-    runs behind the decode boundary; geometry is decided here so the
-    cost model sees post-resize dims."""
+    """Metadata probe + resize plan in one pass: every ``page_metadata``
+    column plus the target dims per page under the huge-payload guard
+    (``resize_dims``, reference P6).  The pixel resample itself runs
+    behind the decode boundary; geometry is decided here so the cost
+    model sees post-resize dims.  (One combined frame, not two queries:
+    the resize plan is a pure function of the probe's geometry columns,
+    so splitting them would re-run the probe.)"""
     from ..functions.tiling import resize_dims
 
     meta = page_metadata(pages)
@@ -123,21 +123,13 @@ def resized_page_metadata(pages: DataFrame, max_size: int = 4096) -> DataFrame:
                 rw.append(a)
                 rh.append(b)
                 capped.append("yes" if (a, b) != (w, h) else "no")
-            yield pd.DataFrame(
-                {
-                    "url": pdf["url"],
-                    "page_index": pdf["page_index"],
-                    "width": pdf["width"],
-                    "height": pdf["height"],
-                    "resized_w": rw,
-                    "resized_h": rh,
-                    "was_capped": capped,
-                }
-            )
+            out = pdf.copy()
+            out["resized_w"] = rw
+            out["resized_h"] = rh
+            out["was_capped"] = capped
+            yield out
 
-    return meta.select(
-        "url", "page_index", "width", "height"
-    ).mapInPandas(run, schema=RESIZED_META_SCHEMA)
+    return meta.mapInPandas(run, schema=RESIZED_META_SCHEMA)
 
 
 FRAME_SAMPLE_SCHEMA = StructType(

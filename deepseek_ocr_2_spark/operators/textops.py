@@ -251,10 +251,109 @@ _LANG_ID_SCHEMA = StructType(
     ]
 )
 
+# Shared with functions/textstats.detect_language — the heuristic is
+# deliberately SQL-expressible (token-occurrence stopword votes + CJK
+# char counts + a fixed-order argmax), so the SAME decision runs
+# JVM-side here (whole-stage codegen, oracle-verifiable) and as the
+# Python kernel (parity-pinned by tests/test_textstats.py).
+_CJK_CLASS = "[一-鿿぀-ヿ가-힯]"
+
+
+def _marker_lists() -> dict:
+    return {
+        lang: sorted(markers)
+        for lang, markers in textstats._LANG_MARKERS.items()
+    }
+
 
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kernel language-ID (n-gram/stopword heuristic) as an Arrow-batched
-    stage — the non-SQL path; the driver records a rows-only check."""
+    """Heuristic language ID, JVM-side (oracle-backed).
+
+    Decision rule (identical to ``textstats.detect_language``):
+    empty text -> 'und'; >=5 CJK chars or >5% CJK ratio -> 'zh'; else
+    argmax of per-language stopword-occurrence votes over the
+    ``[a-z0-9]+`` token stream, alphabetically-first on ties, 'und'
+    when no language scores a single vote.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    feat = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_stored"),
+        F.length(text).alias("n"),
+        F.size(F.regexp_extract_all(text, F.lit(_CJK_CLASS), 0)).alias("cjk"),
+        F.regexp_extract_all(
+            F.lower(text), F.lit("[a-z0-9]+"), 0
+        ).alias("toks"),
+    )
+    votes = {
+        lang: F.size(
+            F.filter(F.col("toks"), lambda t: t.isin(*markers))
+        ).alias(f"v_{lang}")
+        for lang, markers in _marker_lists().items()
+    }
+    scored = feat.select("doc_id", "lang_stored", "n", "cjk", *votes.values())
+    vde, ven, ves, vfr = (
+        F.col("v_de"), F.col("v_en"), F.col("v_es"), F.col("v_fr")
+    )
+    detected = (
+        F.when(F.col("n") == 0, "und")
+        .when(
+            (F.col("cjk") >= 5) | (F.col("cjk") / F.col("n") > 0.05), "zh"
+        )
+        .when(F.greatest(vde, ven, ves, vfr) == 0, "und")
+        # ties resolve to the alphabetically-first language — the same
+        # order Python's max() over sorted(votes) scans
+        .when((vde >= ven) & (vde >= ves) & (vde >= vfr), "de")
+        .when((ven >= ves) & (ven >= vfr), "en")
+        .when(ves >= vfr, "es")
+        .otherwise("fr")
+    )
+    return scored.select(
+        "doc_id", detected.alias("lang_detected"), "lang_stored"
+    )
+
+
+def lang_id_oracle() -> str:
+    in_lists = {
+        lang: ", ".join(f"'{m}'" for m in markers)
+        for lang, markers in _marker_lists().items()
+    }
+    votes = ",\n           ".join(
+        f"len(list_filter(toks, t -> t IN ({in_lists[lang]}))) AS v_{lang}"
+        for lang in sorted(in_lists)
+    )
+    return f"""
+    WITH feat AS (
+      SELECT doc_id, lang AS lang_stored,
+             length(coalesce(text, '')) AS n,
+             len(regexp_extract_all(coalesce(text, ''), '{_CJK_CLASS}')) AS cjk,
+             regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang_stored, n, cjk,
+           {votes}
+      FROM feat
+    )
+    SELECT doc_id,
+           CASE WHEN n = 0 THEN 'und'
+                WHEN cjk >= 5 OR cjk*1.0/n > 0.05 THEN 'zh'
+                WHEN GREATEST(v_de, v_en, v_es, v_fr) = 0 THEN 'und'
+                WHEN v_de >= v_en AND v_de >= v_es AND v_de >= v_fr THEN 'de'
+                WHEN v_en >= v_es AND v_en >= v_fr THEN 'en'
+                WHEN v_es >= v_fr THEN 'es'
+                ELSE 'fr'
+           END AS lang_detected,
+           lang_stored
+    FROM scored
+    """
+
+
+def lang_id_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same language-ID decision as an Arrow-batched Python kernel
+    (``textstats.detect_language``) — kept as the plug-in point where a
+    real model (fastText et al.) slots in behind the identical schema;
+    parity with the JVM query is pinned by tests."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

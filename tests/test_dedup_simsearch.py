@@ -73,10 +73,13 @@ def test_ann_topk_overlaps_brute_force(spark):
 
 
 def test_banded_lsh_near_dup_recall_is_total(spark):
-    """The registered scale path (embedding_near_dup_lsh) must return
+    """The registered query (embedding_near_dup_lsh) must return
     exactly the exact all-pairs result at the default threshold on the
     fixed-seed testdata — this equality is what licenses registering
-    the exact-pairs SQL as its DuckDB oracle."""
+    the exact-pairs SQL as its DuckDB oracle.  At 0.35 the router takes
+    the all-pairs branch (the bands cannot prune there — ADVICE r02),
+    so equality holds by construction; the LSH *branch*'s own recall is
+    pinned by ``test_banded_lsh_branch_equals_exact_when_pruning``."""
     exact = {
         (r.vec_a, r.vec_b): r.cosine
         for r in simsearch.embedding_near_dup_pairs(spark, SF_SMALL).collect()
@@ -122,6 +125,36 @@ def test_banded_lsh_prunes_at_production_threshold(spark):
     assert not missed, f"candidates missed true pairs: {missed}"
     frac = len(cand) / len(iu[0])
     assert frac < 0.10, f"no pruning: candidate fraction {frac:.3f}"
+
+
+def test_banded_lsh_branch_equals_exact_when_pruning(spark, tmp_path):
+    """End-to-end equality of the LSH *branch* (the plan the router
+    takes at production thresholds) against the exact all-pairs answer
+    on a planted-duplicate corpus where the bands genuinely prune."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((300, 24))
+    dups = base[:40] + 0.1 * rng.standard_normal((40, 24))
+    mat = np.vstack([base, dups])
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>",
+    )
+    emb.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    sf_dir = str(tmp_path)
+    thr = 0.9
+    assert simsearch.lsh_prunes_at(thr)
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in simsearch.embedding_near_dup_pairs(spark, sf_dir, thr).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in simsearch.embedding_near_dup_lsh(spark, sf_dir, thr).collect()
+    }
+    assert len(exact) >= 30, "planted dups must clear the threshold"
+    assert lsh == exact
 
 
 def test_band_params_scale_with_threshold():
@@ -227,3 +260,23 @@ def test_banded_lsh_warns_when_threshold_cannot_prune(spark):
         warnings.simplefilter("always")
         simsearch.banded_lsh_keys(emb, 0.35).count()
     assert any("no pruning" in str(x.message) for x in w)
+
+
+def test_index_sizing_runs_no_spark_count_job(spark, monkeypatch):
+    """Layout sizing (ANN plane count, SimHash block count) must come
+    from snapshot statistics (parquet footers), never a Spark count()
+    job at plan-build time (VERDICT r02 'What's wrong' #2)."""
+    from pyspark.sql import DataFrame
+
+    from deepseek_ocr_2_spark.sources.stats import parquet_row_count
+
+    assert parquet_row_count(SF_SMALL, "documents") == 500
+    assert parquet_row_count(SF_SMALL, "embeddings") == 500
+
+    def boom(self):
+        raise AssertionError("count() job at plan-build time")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    # plan BUILD must not trigger a job (the queries stay lazy here)
+    simsearch.lsh_buckets(spark, SF_SMALL)
+    dedup.simhash_near_dups(spark, SF_SMALL)

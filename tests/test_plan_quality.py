@@ -81,14 +81,16 @@ def test_extract_shuffles_payload_exactly_once_and_narrow(spark):
 
 
 def test_lsh_near_dup_plan_reuses_keys_and_prunes(spark):
-    """The banded-LSH near-dup plan must (a) reuse the persisted band
-    keys on both sides of the candidate self-join (InMemoryTableScan,
-    so the signature matmul runs once), and (b) never sort-merge the
-    rerank joins at this scale (embeddings broadcast)."""
+    """The banded-LSH branch (taken at pruning thresholds) must (a)
+    reuse the persisted band keys on both sides of the candidate
+    self-join (InMemoryTableScan, so the signature matmul runs once),
+    and (b) never sort-merge the rerank joins at this scale
+    (embeddings broadcast)."""
     from deepseek_ocr_2_spark.operators import simsearch
     from deepseek_ocr_2_spark.operators.cachereg import release_caches
 
-    df = simsearch.embedding_near_dup_lsh(spark, SF_SMALL)
+    assert simsearch.lsh_prunes_at(0.9)
+    df = simsearch.embedding_near_dup_lsh(spark, SF_SMALL, threshold=0.9)
     plan = formatted_plan(df)
     assert plan.count("InMemoryTableScan") >= 2, "band keys not reused"
     # embeddings scans are pruned to (vec_id, embedding)
@@ -97,6 +99,27 @@ def test_lsh_near_dup_plan_reuses_keys_and_prunes(spark):
         names = {c.split(":")[0] for c in schema.split(",")}
         assert names <= {"vec_id", "embedding"}
     release_caches()
+
+
+def test_lsh_near_dup_routes_to_exact_below_pruning_threshold(spark):
+    """At thresholds where the collision model shows the bands admit
+    >=50% of random pairs (e.g. the registered 0.35), the router must
+    take the plain all-pairs plan: no band-key stage, no L-x row
+    explosion in front of an effectively-all-pairs self-join
+    (ADVICE r02).  Both branches return the identical exact answer."""
+    from deepseek_ocr_2_spark.operators import simsearch
+
+    assert not simsearch.lsh_prunes_at(0.35)
+    df = simsearch.embedding_near_dup_lsh(spark, SF_SMALL, threshold=0.35)
+    plan = formatted_plan(df)
+    assert "InMemoryTableScan" not in plan  # no banded-key stage
+    assert "mapInPandas" not in plan.lower()  # no signature kernel
+    # and the pruning regime boundary is where the math puts it: at
+    # t=0.7 random pairs still collide at 0.62 (k=6, L=61), only past
+    # ~0.75 do the bands reject a majority of random pairs
+    assert simsearch.lsh_prunes_at(0.8) and simsearch.lsh_prunes_at(0.9)
+    assert not simsearch.lsh_prunes_at(0.7)
+    assert not simsearch.lsh_prunes_at(0.45)
 
 
 def test_q17_single_fact_shuffle(spark):

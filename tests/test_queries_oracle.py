@@ -69,6 +69,7 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    assert {"url", "extracted_text", "n_spans", "lang", "payload_type", "ok"} == set(
-        df.columns
-    )
+    assert {
+        "url", "extracted_text", "n_spans", "lang", "payload_type", "ok",
+        "doc_json",
+    } == set(df.columns)

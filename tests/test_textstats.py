@@ -134,3 +134,34 @@ class TestShingles:
     def test_short(self):
         assert shingles(["a"], k=3) == ["a"]
         assert shingles([], k=3) == []
+
+
+class TestLangIdParity:
+    """The JVM lang-id query, the Python kernel, and the DuckDB oracle
+    implement ONE decision rule — pin all three against each other so a
+    drift in any implementation fails loudly."""
+
+    def test_jvm_query_equals_python_kernel(self, spark):
+        from deepseek_ocr_2_spark.operators import textops
+
+        from .conftest import SF_SMALL
+
+        jvm = {
+            r.doc_id: r.lang_detected
+            for r in textops.lang_id_heuristic(spark, SF_SMALL).collect()
+        }
+        ker = {
+            r.doc_id: r.lang_detected
+            for r in textops.lang_id_kernel(spark, SF_SMALL).collect()
+        }
+        assert jvm == ker and len(jvm) == 500
+
+    def test_decision_rule_edge_cases(self):
+        from deepseek_ocr_2_spark.functions.textstats import detect_language
+
+        assert detect_language("") == "und"
+        assert detect_language("12345 67890") == "und"  # tokens, no votes
+        assert detect_language("一二三四五") == "zh"  # 5 CJK chars
+        assert detect_language("the of and to in") == "en"
+        # tie-break: en/es/fr all score 1 -> alphabetically-first wins
+        assert detect_language("the la") == "en"
