@@ -177,7 +177,31 @@ def expire_snapshots(output_dir: str, keep_n: int) -> List[str]:
     return expired_ids
 
 
-def clean_orphans(output_dir: str, older_than_s: float = 3600.0) -> List[str]:
+def _tree_newest_mtime(path: str) -> float:
+    """Newest mtime anywhere under ``path`` (the dir itself included).
+
+    A Spark parquet write touches the snapshot's TOP-level dir mainly at
+    job start; task files land in subdirectories as the job runs — so a
+    long in-flight write presents a stale top-level mtime.  The age
+    guard must see the newest write anywhere in the tree, or it trashes
+    a directory that a writer touched seconds ago (ADVICE r02)."""
+    newest = os.path.getmtime(path)
+    for root, dirs, files in os.walk(path):
+        for name in dirs + files:
+            try:
+                newest = max(
+                    newest, os.path.getmtime(os.path.join(root, name))
+                )
+            except OSError:
+                continue  # raced with the writer: treat as unknown
+    return newest
+
+
+def clean_orphans(
+    output_dir: str,
+    older_than_s: float = 3600.0,
+    inflight_grace_s: Optional[float] = None,
+) -> List[str]:
     """Delete snapshot directories that no manifest entry references.
 
     Two sources of orphans: (a) a run that crashed between writing its
@@ -194,11 +218,22 @@ def clean_orphans(output_dir: str, older_than_s: float = 3600.0) -> List[str]:
     whose files exist but whose commit has not STARTED is protected by
     ``older_than_s`` (default 1h; Iceberg's remove_orphan_files uses
     the same age-guard contract — raise it for long-running writers,
-    pass 0 only in a maintenance window with no jobs active).  Returns
-    the original orphan paths.
+    pass 0 only in a maintenance window with no jobs active).  The age
+    guard reads the NEWEST mtime across the whole snapshot tree (a
+    long-running write keeps touching task files in subdirectories
+    while the top-level dir's mtime goes stale — ADVICE r02), and a
+    tree that looks in-flight (``_temporary`` present or ``_SUCCESS``
+    absent) gets the larger ``inflight_grace_s`` window instead
+    (default 4x ``older_than_s``): long enough that a live writer is
+    certain to have touched something, while a crashed mid-write orphan
+    still gets reclaimed eventually — and a maintenance-window full
+    sweep (``older_than_s=0``) still reclaims everything.  Returns the
+    original orphan paths.
     """
     import shutil
 
+    if inflight_grace_s is None:
+        inflight_grace_s = 4 * older_than_s
     trashed = []  # (original_path, trash_path)
     with _manifest_lock(output_dir):
         referenced = {s["snapshot_id"] for s in read_manifest(output_dir)}
@@ -215,8 +250,12 @@ def clean_orphans(output_dir: str, older_than_s: float = 3600.0) -> List[str]:
                 if sid in referenced:
                     continue
                 try:
-                    if now - os.path.getmtime(path) < older_than_s:
-                        continue  # too fresh: possibly mid-commit
+                    looks_inflight = os.path.exists(
+                        os.path.join(path, "_temporary")
+                    ) or not os.path.exists(os.path.join(path, "_SUCCESS"))
+                    guard = inflight_grace_s if looks_inflight else older_than_s
+                    if now - _tree_newest_mtime(path) < guard:
+                        continue  # too fresh: possibly mid-commit/write
                 except OSError:
                     continue
                 trash = os.path.join(root, f".trash-{uuid.uuid4().hex[:8]}-{sid}")

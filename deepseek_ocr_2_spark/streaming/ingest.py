@@ -212,9 +212,19 @@ def dedup_page_stream(
     two crawl frontiers hours apart) are suppressed; true re-crawls
     beyond the horizon re-emit and fall through to the batch dedup,
     the standard lambda split.
+
+    Null-text guard (ADVICE r02): ``md5(NULL)`` is NULL and
+    ``dropDuplicatesWithinWatermark`` treats equal nulls as duplicates,
+    so without it every distinct null-text page inside the horizon
+    would silently collapse to one survivor.  Null-text rows instead
+    fingerprint on a sentinel keyed by url ('\\x00' cannot open real
+    page text), so only a re-crawl of the SAME url dedups.
     """
     fp = F.md5(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        F.coalesce(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+            F.concat(F.lit("\x00null-text:"), F.col("url")),
+        )
     ).alias("fingerprint")
     return (
         pages.select("url", "warc_ts", "html", "text", "lang", fp)

@@ -232,3 +232,63 @@ def test_commit_time_layout_validation_under_lock(spark, tmp_path):
     P._append_snapshot(out, dict(base, snapshot_id="ddd"))
     assert [s["snapshot_id"] for s in P.read_manifest(out)] == ["aaa", "ddd"]
     assert not os.path.exists(os.path.join(out, "MANIFEST.lock"))
+
+
+def _age_tree(path, seconds):
+    """Set every mtime under ``path`` (and the dir itself) into the past."""
+    import time
+
+    t = time.time() - seconds
+    for root, dirs, files in os.walk(path, topdown=False):
+        for n in files + dirs:
+            os.utime(os.path.join(root, n), (t, t))
+    os.utime(path, (t, t))
+
+
+def test_clean_orphans_age_guard_sees_whole_tree(spark, tmp_path):
+    """A long-running write keeps touching task FILES while the
+    top-level snapshot dir's mtime goes stale — the age guard must read
+    the newest mtime anywhere in the tree, or it trashes a directory a
+    writer touched seconds ago (ADVICE r02)."""
+    import glob
+
+    out = str(tmp_path / "out")
+    pages = C.build_corpus(spark, SF_TINY).limit(10)
+    P.run_extraction(spark, pages, out, CFG)
+    orphan = os.path.join(out, "data", "snapshot=longwriter00")
+    pages.limit(2).write.mode("overwrite").parquet(orphan)
+
+    _age_tree(orphan, 7200)
+    # ...but one task file was written moments ago (the writer is live)
+    part = glob.glob(os.path.join(orphan, "*.parquet"))[0]
+    os.utime(part, None)
+    assert P.clean_orphans(out, older_than_s=3600) == []
+    assert os.path.exists(orphan)
+    # once the WHOLE tree is stale, it is reclaimed
+    _age_tree(orphan, 7200)
+    assert P.clean_orphans(out, older_than_s=3600) == [orphan]
+
+
+def test_clean_orphans_inflight_markers_get_grace_window(spark, tmp_path):
+    """A tree that looks in-flight (_temporary present / _SUCCESS
+    absent) gets 4x the age guard: a live writer stalled between file
+    touches is spared, a crashed mid-write orphan is still reclaimed
+    once the grace window passes."""
+    out = str(tmp_path / "out")
+    pages = C.build_corpus(spark, SF_TINY).limit(10)
+    P.run_extraction(spark, pages, out, CFG)
+    orphan = os.path.join(out, "data", "snapshot=midwrite0000")
+    pages.limit(2).write.mode("overwrite").parquet(orphan)
+    os.makedirs(os.path.join(orphan, "_temporary"))
+    _age_tree(orphan, 7200)
+
+    # stale past older_than_s but inside the 4x grace: spared
+    assert P.clean_orphans(out, older_than_s=3600) == []
+    assert os.path.exists(orphan)
+    # grace window passed (4 * 1000 < 7200): reclaimed
+    assert P.clean_orphans(out, older_than_s=1000) == [orphan]
+    # maintenance-window full sweep semantics survive: 0 reclaims all
+    orphan2 = os.path.join(out, "data", "snapshot=midwrite0001")
+    pages.limit(2).write.mode("overwrite").parquet(orphan2)
+    os.makedirs(os.path.join(orphan2, "_temporary"))
+    assert P.clean_orphans(out, older_than_s=0) == [orphan2]

@@ -216,3 +216,53 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_dedup_null_text_pages_survive(spark, tmp_path, corpus_df):
+    """md5(NULL) is NULL and dropDuplicatesWithinWatermark treats equal
+    nulls as duplicates — without the sentinel fingerprint, DISTINCT
+    null-text pages inside the horizon silently collapse to one
+    survivor (ADVICE r02).  Distinct urls with null text must all pass;
+    a re-crawl of the SAME url with null text still dedups."""
+    from pyspark.sql import functions as F
+
+    drop = str(tmp_path / "nulldrop")
+    base = corpus_df.limit(20)
+    nulls = base.limit(5).select(
+        F.concat(F.col("url"), F.lit("?nulltext=1")).alias("url"),
+        "warc_ts",
+        "html",
+        F.lit(None).cast("string").alias("text"),
+        "lang",
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+    )
+    recrawl = nulls.limit(1).select(
+        "url",
+        (F.col("warc_ts") + F.expr("INTERVAL 5 MINUTES")).alias("warc_ts"),
+        "html",
+        "text",
+        "lang",
+        (F.col("doc_id") + 1_000).alias("doc_id"),
+    )
+    base.unionByName(nulls).unionByName(recrawl).write.mode(
+        "overwrite"
+    ).parquet(drop)
+
+    deduped = ingest.dedup_page_stream(
+        ingest.read_page_stream(spark, drop), horizon="1 hour"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("nulldedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "nckpt"))
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not drain"
+    rows = spark.sql("select * from nulldedup_sink").collect()
+    # 20 distinct texts + 5 DISTINCT null-text urls survive;
+    # the same-url null-text re-crawl is the only drop
+    assert len(rows) == 25
+    null_urls = {r.url for r in rows if r.text is None}
+    assert len(null_urls) == 5
