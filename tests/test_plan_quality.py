@@ -156,3 +156,34 @@ def test_simhash_explodes_once_no_per_combo_scan(spark):
     # combination keys come from ONE array, not 56 scans
     assert tree.count("Generate") == 2, tree
     release_caches()
+
+
+def test_partitioned_snapshot_read_prunes_partitions(spark, tmp_path):
+    """A committed snapshot written with partition_by=("lang",) must give
+    per-language readers PARTITION pruning: the lang predicate shows up
+    in the scan's PartitionFilters (directories skipped at planning
+    time), not as a post-scan data filter — at 100 TB this is the
+    difference between reading one language's directories and scanning
+    the whole snapshot."""
+    from deepseek_ocr_2_spark.operators.extract import ExtractConfig
+    from deepseek_ocr_2_spark.plans import pipeline as P
+
+    out = str(tmp_path / "out")
+    pages = C.build_corpus(spark, SF_TINY).limit(60)
+    P.run_extraction(
+        spark, pages, out,
+        ExtractConfig(num_buckets=8,
+                      static_hot_hosts=("big.example-news.com",)),
+        partition_by=("lang",),
+    )
+    res = P.committed_results(spark, out)
+    pruned = res.filter(res.lang == "en")
+    plan = formatted_plan(pruned)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1) and "en" in m.group(1), plan
+    # the pruned read touches strictly fewer files than the full scan
+    full_files = {f for f in res.inputFiles()}
+    pruned_rows = pruned.count()
+    assert pruned_rows > 0
+    en_files = {f for f in full_files if "lang=en" in f}
+    assert en_files and len(en_files) < len(full_files)

@@ -25,6 +25,12 @@ picking a lucky run), with the full wall list recorded so the spread is
 on the record (round-1 walls showed a 3x spread at local[32] on a busy
 window; re-measured on a quiet window per VERDICT r01 #8).
 
+Isolation (round 3, ADVICE r02): core ranges overlap (the 32-level
+children span the 8-level children's cores 0-7), so the three children
+NOT being measured are frozen with SIGSTOP on their whole process
+groups — an idle-but-runnable JVM still schedules GC/heartbeat threads
+on the measured cores; a stopped one consumes zero cycles.
+
 Usage: python tools/scaling_bench.py  (writes BENCH/BASELINE.md)
 """
 
@@ -32,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import statistics
 import subprocess
 import sys
@@ -56,6 +63,11 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.driver.memory", "24g")
          .config("spark.ui.enabled", "false")
+         # the parent SIGSTOPs this whole process group while the other
+         # measurement children run; generous timeouts so a freeze is
+         # never misread as a lost executor/heartbeat
+         .config("spark.network.timeout", "600s")
+         .config("spark.executor.heartbeatInterval", "60s")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from deepseek_ocr_2_spark.operators.extract import ExtractConfig, extract_pages
@@ -148,8 +160,12 @@ class _PokedChild:
     of a pair rather than silently corrupting one side of the
     efficiency ratio — on this virtualized guest the unpaired design
     produced 3x wall spreads that landed entirely on one level.
-    While idle a child blocks on stdin (its executor threads park), so
-    the inactive level does not compete for the measured cores.
+    While waiting its turn a child is SIGSTOPed as a whole process
+    group (ADVICE r02: an idle-but-runnable local[32] JVM pinned to
+    cores 0-31 still runs GC/heartbeat/background threads ON the cores
+    0-7 being measured for the 8-core child — blocking on stdin parks
+    the executor threads but not the JVM's own housekeeping).  Frozen
+    processes consume zero cycles; SIGCONT resumes them for their turn.
     """
 
     def __init__(self, script: str, cpus: int, *args: str) -> None:
@@ -160,12 +176,30 @@ class _PokedChild:
             mode="w+", prefix=f"scaling_child_{cpus}_", suffix=".err",
             delete=False,
         )
+        # start_new_session: the child leads its own process group, so
+        # SIGSTOP/SIGCONT reach the whole tree (python + JVM / pool
+        # workers), which inherit the group
         self.proc = subprocess.Popen(
             ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c",
              script, str(cpus), *args],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=self.errfile, text=True, bufsize=1, cwd=REPO,
+            start_new_session=True,
         )
+
+    def suspend(self) -> None:
+        """Freeze the child's whole process group (zero CPU while
+        another level is being measured)."""
+        try:
+            os.killpg(self.proc.pid, signal.SIGSTOP)
+        except ProcessLookupError:
+            pass
+
+    def resume(self) -> None:
+        try:
+            os.killpg(self.proc.pid, signal.SIGCONT)
+        except ProcessLookupError:
+            pass
 
     def _die(self, when: str) -> None:
         self.errfile.flush()
@@ -190,6 +224,7 @@ class _PokedChild:
         self._die("mid-run")
 
     def close(self) -> None:
+        self.resume()  # a frozen group cannot process EXIT
         try:
             self.proc.stdin.write("EXIT\n")
             self.proc.stdin.flush()
@@ -212,26 +247,39 @@ def _four_way_measure(corpus_path: str) -> tuple[dict, dict, list]:
     per-round rel list)."""
     lo, hi = LEVELS
     spark_kids, ceil_kids = {}, {}
-    # warm up sequentially (concurrent warmups would contend)
+    # warm up sequentially (concurrent warmups would contend); freeze
+    # each child as soon as it reports ready — from here on exactly ONE
+    # child's process group is runnable at any instant, so the measured
+    # cores are never shared with another level's housekeeping threads
     for cpus in LEVELS:
         spark_kids[cpus] = _PokedChild(
             _CHILD, cpus, corpus_path, str(WARMUPS)
         )
         spark_kids[cpus].wait_ready()
+        spark_kids[cpus].suspend()
     for cpus in LEVELS:
         ceil_kids[cpus] = _PokedChild(
             _CEILING_CHILD % {"repo": REPO}, cpus, SF_DIR, "1"
         )
         ceil_kids[cpus].wait_ready()
+        ceil_kids[cpus].suspend()
     spark_m = {"walls": {c: [] for c in LEVELS}, "docs": {}, "ratios": []}
     ceil_m = {"walls": {c: [] for c in LEVELS}, "docs": {}, "ratios": []}
     rels = []
+
+    def timed(kid: _PokedChild) -> dict:
+        kid.resume()
+        try:
+            return kid.run_once()
+        finally:
+            kid.suspend()
+
     try:
         for r in range(RUNS):
-            s_lo = spark_kids[lo].run_once()
-            s_hi = spark_kids[hi].run_once()
-            k_lo = ceil_kids[lo].run_once()
-            k_hi = ceil_kids[hi].run_once()
+            s_lo = timed(spark_kids[lo])
+            s_hi = timed(spark_kids[hi])
+            k_lo = timed(ceil_kids[lo])
+            k_hi = timed(ceil_kids[hi])
             for m, a, b in ((spark_m, s_lo, s_hi), (ceil_m, k_lo, k_hi)):
                 m["walls"][lo].append(a["wall"])
                 m["walls"][hi].append(b["wall"])
@@ -335,7 +383,10 @@ two cluster sizes.  Sandbox substitution per the driver instruction:
 same job + same staged input at `local[{lo}]` and `local[{hi}]`,
 separate JVMs, each **pinned with taskset to exactly its core budget**
 (without the pin the small level borrows idle cores and the comparison
-is meaningless).  {RUNS} timed runs after {WARMUPS} warm-ups; best-of
+is meaningless), and the children NOT being measured **frozen with
+SIGSTOP** so their housekeeping threads never touch the measured cores
+(the core ranges overlap by construction — 32 cores is the whole box).
+{RUNS} timed runs after {WARMUPS} warm-ups; best-of
 AND median-of reported, full wall lists below (nothing else ran on the
 box during measurement).
 
