@@ -94,6 +94,110 @@ def time_extraction(spark, corpus_path: str, hot_hosts: tuple) -> tuple[float, i
     return dt, int(agg["docs"])
 
 
+def bench_partitioned_snapshot(
+    spark, corpus_path: str, hot_hosts: tuple, staging: str
+) -> dict:
+    """VERDICT r02 #5: exercise the partition_by snapshot layout at
+    bench scale and show partition PRUNING pays: a per-language reader
+    over a lang-partitioned committed snapshot plans PartitionFilters
+    (reads only its directories) and beats the full-snapshot scan."""
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_2_spark.operators.extract import ExtractConfig
+    from deepseek_ocr_2_spark.plans import pipeline as P
+
+    out = os.path.join(staging, "snap_lang")
+    pages = spark.read.parquet(corpus_path)
+    cfg = ExtractConfig(
+        num_buckets=max(CPUS * 4, 64), static_hot_hosts=hot_hosts
+    )
+    t0 = time.time()
+    P.run_extraction(spark, pages, out, cfg, partition_by=("lang",))
+    write_sec = time.time() - t0
+
+    res = P.committed_results(spark, out)
+
+    def scan(df) -> float:
+        t0 = time.time()
+        df.agg(
+            F.count(F.lit(1)), F.sum(F.length("extracted_text"))
+        ).collect()
+        return time.time() - t0
+
+    full_sec = scan(res)
+    pruned = res.filter(F.col("lang") == "en")
+    pruned_sec = scan(pruned)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    files = res.inputFiles()
+    return {
+        "write_sec": round(write_sec, 3),
+        "full_scan_sec": round(full_sec, 3),
+        "pruned_scan_sec_lang_en": round(pruned_sec, 3),
+        "plan_has_partition_filters": (
+            "PartitionFilters" in plan and "lang" in plan
+        ),
+        "data_files_total": len(files),
+        "data_files_lang_en": sum(1 for f in files if "lang=en" in f),
+    }
+
+
+def bench_stream_state(spark, staging: str) -> dict:
+    """VERDICT r02 #6: the watermarked stream-stream interval join over
+    the sf events table, micro-batched in event-time order — evidence
+    that join-state expiry keeps the state store BOUNDED (max state rows
+    << total click rows) at bench scale."""
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_2_spark.streaming.ingest import (
+        stream_stream_click_purchase_join,
+    )
+
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    drop = os.path.join(staging, "events_drop")
+    # range-partition by ts so micro-batches advance event time (and
+    # the watermark) monotonically, like a live feed would
+    src.repartitionByRange(16, "ts").write.mode("overwrite").parquet(drop)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(drop)
+    )
+    joined = stream_stream_click_purchase_join(stream)
+    t0 = time.time()
+    q = (
+        joined.writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(staging, "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    wall = time.time() - t0
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    out_rows = sum(
+        p["sink"]["numOutputRows"]
+        for p in q.recentProgress
+        if p["sink"]["numOutputRows"] > 0
+    )
+    n_clicks = src.filter(F.col("event_type") == "click").count()
+    n_purch = src.filter(F.col("event_type") == "purchase").count()
+    return {
+        "wall_sec": round(wall, 3),
+        "micro_batches": len(q.recentProgress),
+        "joined_rows": int(out_rows),
+        "clicks_total": int(n_clicks),
+        "purchases_total": int(n_purch),
+        "max_state_rows": max(state_rows) if state_rows else 0,
+        "final_state_rows": state_rows[-1] if state_rows else 0,
+        "state_bounded": bool(
+            state_rows and max(state_rows) < (n_clicks + n_purch) // 2
+        ),
+    }
+
+
 def main() -> None:
     spark = build_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -129,6 +233,20 @@ def main() -> None:
             queries[name] = round(time.time() - t0, 3)
         queries["extraction_sf"] = round(wall, 3)
 
+        extras = {}
+        for key, fn, args in (
+            (
+                "partitioned_snapshot",
+                bench_partitioned_snapshot,
+                (spark, corpus_path, hot_hosts, staging),
+            ),
+            ("stream_stream_state", bench_stream_state, (spark, staging)),
+        ):
+            try:
+                extras[key] = fn(*args)
+            except Exception as exc:  # never lose the headline over extras
+                extras[key] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+
         try:
             sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
         except ValueError:
@@ -142,6 +260,7 @@ def main() -> None:
             "docs": docs,
             "extraction_wall_sec": round(wall, 3),
             "cpus": CPUS,
+            **extras,
         }
         # merge the latest two-parallelism scaling evidence if present
         scaling_path = os.path.join(

@@ -55,32 +55,33 @@ SHINGLE_K = 3
 MAX_SHINGLE_DF = 50
 
 
-def _shingled(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) distinct word-3-gram pairs, all JVM-side.
+def _shingled(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) word-3-gram pairs, all JVM-side.
 
     Shingles are built with an array ``transform`` over the token array
     (one narrow projection) instead of posexplode + window LEAD — no
     shuffle and no per-token row blow-up before the explode, which at
-    corpus scale is the difference between one pass and a sort."""
+    corpus scale is the difference between one pass and a sort.
+
+    ``distinct=False`` skips the dedup exchange for callers that dedup
+    inside their own aggregation anyway (``collect_set`` in
+    ``ngram_jaccard_pairs``) — one shuffle instead of two."""
     toks = docs.select(
         "doc_id",
         F.regexp_extract_all(
             F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
         ).alias("t"),
     )
-    return (
-        toks.filter(F.size("t") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(t)-3),"
-                    " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
+    out = toks.filter(F.size("t") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t)-3),"
+                " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+            )
+        ).alias("shingle"),
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,7 +99,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .cachereg import persist_tracked
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = _shingled(docs)
+    # distinct=False + collect_set: per-(doc, shingle) dedup happens
+    # INSIDE the posting-list aggregation, so the corpus shuffles once
+    # (on shingle) instead of twice (distinct exchange + group exchange)
+    sh = _shingled(docs, distinct=False)
     # persist the posting lists: counts and pairs both read them, and
     # Catalyst does not reuse the exchange across the two aggregation
     # keys.  (At warehouse scale this is a materialized intermediate
@@ -106,7 +110,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lifecycle: tracked — callers release via cachereg.release_caches()
     grouped = persist_tracked(
         sh.groupBy("shingle").agg(
-            F.sort_array(F.collect_list("doc_id")).alias("ds")
+            F.sort_array(F.collect_set("doc_id")).alias("ds")
         )
     )
     counts = (

@@ -187,3 +187,22 @@ def test_partitioned_snapshot_read_prunes_partitions(spark, tmp_path):
     assert pruned_rows > 0
     en_files = {f for f in full_files if "lang=en" in f}
     assert en_files and len(en_files) < len(full_files)
+
+
+def test_ngram_posting_lists_single_shuffle(spark):
+    """The posting-list build must shuffle the corpus ONCE (on the
+    shingle key): per-(doc, shingle) dedup happens inside the
+    aggregation (collect_set), not in a separate distinct() exchange —
+    at corpus scale the second full shuffle was pure waste."""
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_2_spark.operators import dedup
+    from deepseek_ocr_2_spark.operators.relational import load
+
+    docs = load(spark, SF_SMALL, "documents").select("doc_id", "text")
+    grouped = dedup._shingled(docs, distinct=False).groupBy("shingle").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ds")
+    )
+    plan = formatted_plan(grouped)
+    tree = plan.split("== Physical Plan ==")[-1].split("\n\n(1)")[0]
+    assert tree.count("Exchange") == 1, tree

@@ -51,8 +51,11 @@ REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "96"))
 RUNS = int(os.environ.get("SPARK_GRAFT_RUNS", "8"))
 # 2 warmups leave the 32-thread JVM still improving through the first
 # measured rounds (observed: walls fell 16.2 -> 9.8 across 6 rounds);
-# 4 warmups flatten the trend
-WARMUPS = int(os.environ.get("SPARK_GRAFT_WARMUPS", "4"))
+# 4 flattened the trend when idle children stayed runnable — but with
+# SIGSTOP isolation the JVM can no longer JIT-compile in the background
+# BETWEEN its turns, so warmup must be explicit and longer (observed
+# with 4: local[32] walls still fell 14.1 -> 6.9 across 8 rounds)
+WARMUPS = int(os.environ.get("SPARK_GRAFT_WARMUPS", "8"))
 
 _CHILD = r"""
 import json, sys, time
