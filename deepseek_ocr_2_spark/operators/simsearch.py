@@ -460,32 +460,46 @@ def lsh_buckets(
     return emb.mapInPandas(run, schema=_BUCKET_SCHEMA)
 
 
-def _hamming1_probes(bucket_bits: str) -> List[str]:
-    out = [bucket_bits]
-    for i in range(len(bucket_bits)):
-        flipped = (
-            bucket_bits[:i]
-            + ("0" if bucket_bits[i] == "1" else "1")
-            + bucket_bits[i + 1:]
-        )
-        out.append(flipped)
+def _multi_probes(bucket_bits: str, max_hamming: int = 1) -> List[str]:
+    """All bucket keys within Hamming ``max_hamming`` of the query's.
+
+    The standard multi-probe LSH recall/cost knob (Lv et al. 2007):
+    each extra Hamming level multiplies probed buckets by ~n_planes,
+    trading scan fraction for recall — the caller picks the level, the
+    plan shape is unchanged (still one semi-join on the bucket key).
+    """
+    from itertools import combinations
+
+    n = len(bucket_bits)
+    out = []
+    for h in range(max_hamming + 1):
+        for idxs in combinations(range(n), h):
+            bits = list(bucket_bits)
+            for i in idxs:
+                bits[i] = "0" if bits[i] == "1" else "1"
+            out.append("".join(bits))
     return out
 
 
-def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_ann_topk(
+    spark: SparkSession, sf_dir: str, probe_hamming: int = 1
+) -> DataFrame:
     """ANN top-10 for the query vector via multi-probe LSH + exact rerank.
 
     Plan shape: bucket table (linear scan, one narrow stage) -> filter to
     the query's probe buckets (partition-prunable at scale if the bucket
     table is written partitioned by bucket prefix) -> exact cosine rerank
-    on the candidate slice only.
+    on the candidate slice only.  ``probe_hamming`` is the recall/cost
+    knob: more probe levels scan a larger candidate slice (recall-vs-
+    probes curve pinned in tests); it is APPROXIMATE by design at every
+    setting — exactness needs ``cosine_topk``'s full scan.
     """
     emb = load(spark, sf_dir, "embeddings")
     buckets = lsh_buckets(spark, sf_dir)
     qrow = (
         buckets.filter(F.col("vec_id") == QUERY_VEC_ID).select("bucket").collect()
     )
-    probes = _hamming1_probes(qrow[0]["bucket"])
+    probes = _multi_probes(qrow[0]["bucket"], probe_hamming)
     cand = buckets.filter(F.col("bucket").isin(probes)).select("vec_id")
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qvec")

@@ -280,3 +280,37 @@ def test_index_sizing_runs_no_spark_count_job(spark, monkeypatch):
     # plan BUILD must not trigger a job (the queries stay lazy here)
     simsearch.lsh_buckets(spark, SF_SMALL)
     dedup.simhash_near_dups(spark, SF_SMALL)
+
+
+def test_ann_multi_probe_recall_rises_with_probe_level(spark):
+    """The multi-probe knob must trade candidate-scan fraction for
+    recall monotonically: more Hamming levels -> recall vs brute force
+    never drops, and at full probe depth (all buckets) the ANN answer
+    IS the exact answer (same rerank expression)."""
+    exact = [r.vec_id for r in simsearch.cosine_topk(spark, SF_SMALL).collect()]
+    prev = -1
+    for h in (0, 1, 2):
+        ann = [
+            r.vec_id
+            for r in simsearch.lsh_ann_topk(spark, SF_SMALL, probe_hamming=h).collect()
+        ]
+        overlap = len(set(exact) & set(ann))
+        assert overlap >= prev, f"recall dropped at probe level {h}"
+        prev = overlap
+    # probing every bucket degenerates to the exact scan
+    n_planes = simsearch.ann_plane_count(500)
+    full = [
+        r.vec_id
+        for r in simsearch.lsh_ann_topk(
+            spark, SF_SMALL, probe_hamming=n_planes
+        ).collect()
+    ]
+    assert full == exact
+
+
+def test_multi_probe_enumeration():
+    probes = simsearch._multi_probes("0101", 1)
+    assert probes[0] == "0101" and len(probes) == 5
+    assert len(set(probes)) == 5
+    probes2 = simsearch._multi_probes("0101", 2)
+    assert len(probes2) == 1 + 4 + 6
