@@ -21,7 +21,7 @@ per run.  The scaling harness (``tools/scaling_bench.py``) has used
 static hot hosts in every round, so its efficiency numbers ARE
 round-comparable.
 
-Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+Scaling-efficiency evidence (N vs 4N core-pinned pairs) is produced by
 ``tools/scaling_bench.py`` which writes ``BENCH/BASELINE.md``; this file
 stays fast enough for a per-round driver run.
 """

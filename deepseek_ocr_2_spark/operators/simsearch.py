@@ -482,7 +482,7 @@ def _multi_probes(bucket_bits: str, max_hamming: int = 1) -> List[str]:
 
 
 def lsh_ann_topk(
-    spark: SparkSession, sf_dir: str, probe_hamming: int = 1
+    spark: SparkSession, sf_dir: str, probe_hamming: int = 2
 ) -> DataFrame:
     """ANN top-10 for the query vector via multi-probe LSH + exact rerank.
 
@@ -493,6 +493,11 @@ def lsh_ann_topk(
     knob: more probe levels scan a larger candidate slice (recall-vs-
     probes curve pinned in tests); it is APPROXIMATE by design at every
     setting — exactness needs ``cosine_topk``'s full scan.
+
+    Default probe depth 2: with ``n_planes`` tracking log2(corpus), the
+    Hamming<=2 probe set is ``1 + n + n(n-1)/2`` of ``2^n`` buckets —
+    a vanishing scan fraction as the corpus grows (n=20: ~2e-4) while
+    recall on the test corpus rises 3/10 -> 8/10 over depth 1.
     """
     emb = load(spark, sf_dir, "embeddings")
     buckets = lsh_buckets(spark, sf_dir)

@@ -67,9 +67,10 @@ def test_ann_topk_overlaps_brute_force(spark):
     assert len(ann) > 0
     # every ANN hit is scored identically to brute force (same rerank),
     # so ANN results must be a subset-by-rank of the exact candidates it
-    # found; require non-trivial recall on the test corpus.
+    # found; the registered default (probe depth 2) reaches 8/10 on the
+    # fixed-seed corpus — pin a floor just below it.
     overlap = len(set(exact) & set(ann))
-    assert overlap >= 3, f"ANN recall too low: {overlap}/10"
+    assert overlap >= 6, f"ANN recall too low: {overlap}/10"
 
 
 def test_banded_lsh_near_dup_recall_is_total(spark):

@@ -1,0 +1,71 @@
+"""Unit tests for the pure-math pieces of tools/scaling_bench.py.
+
+The measurement itself needs a quiet box and ~30 min, so CI only pins
+the aggregation arithmetic: efficiency definitions, paired-ratio
+medians, and the report's headline-vs-stress framing.
+"""
+
+import os
+import statistics
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import scaling_bench as sb  # noqa: E402
+
+
+def _mk_measure(levels, walls_lo, walls_hi, docs=1000):
+    lo, hi = levels
+    m = {
+        "walls": {lo: walls_lo, hi: walls_hi},
+        "docs": {lo: docs, hi: docs},
+        "ratios": [
+            (a / b) / (hi / lo) for a, b in zip(walls_lo, walls_hi)
+        ],
+    }
+    for c in levels:
+        m[c] = {"cpus": c, "walls": m["walls"][c], "docs": docs}
+    return m
+
+
+def test_pair_stats_perfect_scaling():
+    levels = (4, 16)
+    spark_m = _mk_measure(levels, [40.0, 40.0], [10.0, 10.0])
+    ceil_m = _mk_measure(levels, [40.0, 40.0], [10.0, 10.0])
+    st = sb._pair_stats(levels, spark_m, ceil_m, [1.0, 1.0])
+    assert st["eff"] == 1.0 and st["ceiling"] == 1.0 and st["rel"] == 1.0
+    assert st["json"]["raw_efficiency"] == 1.0
+    # throughput: 1000 docs / best wall
+    assert st["tp"][4] == 1000 / 40.0 and st["tp"][16] == 1000 / 10.0
+
+
+def test_pair_stats_best_and_median_differ():
+    levels = (8, 32)
+    # one noisy hi wall: best-of uses min, median is robust to it
+    spark_m = _mk_measure(levels, [20.0, 20.0, 20.0], [5.0, 5.0, 50.0])
+    ceil_m = _mk_measure(levels, [20.0, 20.0, 20.0], [5.0, 5.0, 5.0])
+    rels = [
+        s / c for s, c in zip(spark_m["ratios"], ceil_m["ratios"])
+    ]
+    st = sb._pair_stats(levels, spark_m, ceil_m, rels)
+    assert st["eff"] == 1.0  # best walls: 20 -> 5 at 4x cores
+    assert st["eff_med"] == statistics.median(spark_m["ratios"]) == 1.0
+    # the noisy pair's ratio (20/50)/4 = 0.1 is in the list but not the median
+    assert min(spark_m["ratios"]) == (20.0 / 50.0) / 4
+    assert st["json"]["median"]["raw_efficiency"] == 1.0
+
+
+def test_pair_report_tags_headline_vs_stress():
+    levels = (4, 16)
+    m = _mk_measure(levels, [40.0], [12.5])
+    st = sb._pair_stats(levels, m, m, [1.0])
+    head = sb._pair_report(st, headline=True)
+    stress = sb._pair_report(st, headline=False)
+    assert "headline north-rule pair" in head
+    assert "full-box stress pair" in stress
+    assert "Raw scaling efficiency (4 -> 16 cores): best-of 0.800" in head
+
+
+def test_level_pairs_env_parse(monkeypatch):
+    # default: headline 4,16 first then 8,32
+    assert sb.LEVEL_PAIRS[0] == (4, 16) and sb.LEVEL_PAIRS[1] == (8, 32)
