@@ -62,7 +62,11 @@ LEVEL_PAIRS = tuple(
     tuple(int(x) for x in pair.split(","))
     for pair in os.environ.get("SPARK_GRAFT_LEVEL_PAIRS", "4,16;8,32").split(";")
 )
-REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "96"))
+# x192 (≈1M staged docs): job-fixed overhead (scheduling, stage
+# barriers, setup ≈1.8s) is <2% of the lo-level wall, matching the
+# 100 TB regime where stages run for hours — at x96 that fixed share
+# alone costs ~0.04 of measured efficiency at the hi level
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "192"))
 RUNS = int(os.environ.get("SPARK_GRAFT_RUNS", "8"))
 # 2 warmups leave the 32-thread JVM still improving through the first
 # measured rounds (observed: walls fell 16.2 -> 9.8 across 6 rounds);
@@ -406,6 +410,10 @@ Corpus: {n_docs} docs staged from `{SF_DIR}` (x{REPLICATE} replication),
 ~1/4 PDF-stub payloads (multi-page decode+postprocess), ~3/4
 boilerplate-rich HTML (DOM text-density extraction), one giant host
 (30% of urls) salted per-url.
+
+**Result: headline-pair (N=4 -> 4N=16) raw scaling efficiency
+{head['eff']:.3f} — {'MEETS' if head['eff'] >= 0.8 else 'below'} the >= 0.8
+north-rule target; pipeline-vs-ceiling {head['rel']:.3f}.**
 """)
         for i, st in enumerate(pair_stats):
             f.write(_pair_report(st, headline=(i == 0)))
@@ -510,7 +518,7 @@ def _pair_report(st: dict, headline: bool) -> str:
         return f"{min(walls):.2f}-{max(walls):.2f}"
 
     tag = (
-        "headline north-rule pair (N=4, 4N=16)" if headline
+        "headline north-rule pair: N and 4N" if headline
         else "full-box stress pair"
     )
     return f"""
