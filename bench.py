@@ -131,14 +131,18 @@ def bench_partitioned_snapshot(
     pruned = res.filter(F.col("lang") == "en")
     pruned_sec = scan(pruned)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the lang predicate must be INSIDE the PartitionFilters bracket —
+    # any partitioned scan prints 'PartitionFilters: [...]' (empty when
+    # nothing prunes), so a bare substring check can never fail
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     files = res.inputFiles()
     return {
         "write_sec": round(write_sec, 3),
         "full_scan_sec": round(full_sec, 3),
         "pruned_scan_sec_lang_en": round(pruned_sec, 3),
-        "plan_has_partition_filters": (
-            "PartitionFilters" in plan and "lang" in plan
-        ),
+        "plan_has_partition_filters": bool(pf and "lang" in pf.group(1)),
         "data_files_total": len(files),
         "data_files_lang_en": sum(1 for f in files if "lang=en" in f),
     }
@@ -157,9 +161,36 @@ def bench_stream_state(spark, staging: str) -> dict:
 
     src = spark.read.parquet(f"{SF_DIR}/events.parquet")
     drop = os.path.join(staging, "events_drop")
-    # range-partition by ts so micro-batches advance event time (and
-    # the watermark) monotonically, like a live feed would
+    # range-partition by ts so each part file holds one event-time slice
     src.repartitionByRange(16, "ts").write.mode("overwrite").parquet(drop)
+    # FileStreamSource picks files oldest-MTIME-first, and the parallel
+    # write stamps mtimes in arbitrary task-completion order — restamp
+    # every part file's mtime in min(ts) order (parquet footer stats,
+    # driver-side) so micro-batches advance event time and the
+    # watermark monotonically, like a live feed.  Without this, a
+    # newest-slice file in an early batch advances the watermark past
+    # the older files and their rows are silently dropped as late —
+    # "bounded state" would then reflect loss, not expiry.  The
+    # lossless flag below (streamed rows == batch-join rows) proves
+    # no such drop happened.
+    import glob
+
+    import pyarrow.parquet as pq
+
+    parts = []
+    for fname in glob.glob(os.path.join(drop, "part-*.parquet")):
+        md = pq.ParquetFile(fname).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ts_i = names.index("ts")
+        mins = min(
+            md.row_group(g).column(ts_i).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        parts.append((mins, fname))
+    t_base = time.time() - len(parts) - 1
+    for i, (_, fname) in enumerate(sorted(parts)):
+        os.utime(fname, (t_base + i, t_base + i))
+
     stream = (
         spark.readStream.schema(src.schema)
         .option("maxFilesPerTrigger", 2)
@@ -173,7 +204,9 @@ def bench_stream_state(spark, staging: str) -> dict:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    drained = bool(q.awaitTermination(600))
+    if not drained:
+        q.stop()
     wall = time.time() - t0
     state_rows = [
         p["stateOperators"][0]["numRowsTotal"]
@@ -185,14 +218,32 @@ def bench_stream_state(spark, staging: str) -> dict:
         for p in q.recentProgress
         if p["sink"]["numOutputRows"] > 0
     )
-    n_clicks = src.filter(F.col("event_type") == "click").count()
-    n_purch = src.filter(F.col("event_type") == "purchase").count()
+    counts = src.agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+    ).collect()[0]
+    n_clicks, n_purch = int(counts["c"]), int(counts["p"])
+    # batch twin of the interval join: the stream must emit EXACTLY
+    # these pairs (watermark expiry may drop state, never results)
+    c = src.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    p = src.filter(F.col("event_type") == "purchase")
+    batch_rows = p.join(
+        c,
+        (p.user_id == c.cu)
+        & (c.cts < p.ts)
+        & (c.cts >= p.ts - F.expr("INTERVAL 2 HOURS")),
+    ).count()
     return {
         "wall_sec": round(wall, 3),
+        "drained": drained,
         "micro_batches": len(q.recentProgress),
         "joined_rows": int(out_rows),
-        "clicks_total": int(n_clicks),
-        "purchases_total": int(n_purch),
+        "batch_joined_rows": int(batch_rows),
+        "lossless": bool(drained and int(out_rows) == int(batch_rows)),
+        "clicks_total": n_clicks,
+        "purchases_total": n_purch,
         "max_state_rows": max(state_rows) if state_rows else 0,
         "final_state_rows": state_rows[-1] if state_rows else 0,
         "state_bounded": bool(

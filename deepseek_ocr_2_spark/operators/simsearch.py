@@ -204,6 +204,18 @@ def embedding_near_dup_oracle() -> str:
     """
 
 
+# the single source for "do the bands prune?": a (k, L) config admits a
+# random pair with probability 1-(1-0.5^k)^L; below this cutoff the
+# banded plan does real work, at/above it candidate generation
+# approaches all-pairs.  Used by BOTH the embedding_near_dup_lsh router
+# (lsh_prunes_at) and banded_lsh_keys' RuntimeWarning.
+_PRUNE_ADMIT_CUTOFF = 0.5
+
+
+def _random_admit_rate(k: int, bands: int) -> float:
+    return 1.0 - (1.0 - 0.5**k) ** bands
+
+
 def band_params(
     threshold: float, miss_prob: float = 1e-5, max_bands: int = 64
 ) -> tuple[int, int]:
@@ -277,8 +289,8 @@ def banded_lsh_keys(
     use thresholds >= ~0.7 where the bands do real work.
     """
     k, bands = band_params(threshold)
-    random_rate = 1.0 - (1.0 - 0.5**k) ** bands
-    if random_rate >= 0.5:
+    random_rate = _random_admit_rate(k, bands)
+    if random_rate >= _PRUNE_ADMIT_CUTOFF:
         import warnings
 
         warnings.warn(
@@ -353,10 +365,12 @@ def lsh_prunes_at(threshold: float) -> bool:
     >=50% of random pairs, i.e. all-pairs with a 44x row explosion in
     front of it (ADVICE r02).  That regime is a property of the math,
     not the implementation; routing logic uses this predicate to pick
-    the exact plan instead.
+    the exact plan instead.  Shares ``_random_admit_rate`` and the
+    cutoff with ``banded_lsh_keys``' warning so router and warning can
+    never diverge.
     """
     k, bands = band_params(threshold)
-    return (1.0 - (1.0 - 0.5**k) ** bands) < 0.5
+    return _random_admit_rate(k, bands) < _PRUNE_ADMIT_CUTOFF
 
 
 def embedding_near_dup_lsh(

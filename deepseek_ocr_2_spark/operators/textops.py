@@ -255,8 +255,10 @@ _LANG_ID_SCHEMA = StructType(
 # deliberately SQL-expressible (token-occurrence stopword votes + CJK
 # char counts + a fixed-order argmax), so the SAME decision runs
 # JVM-side here (whole-stage codegen, oracle-verifiable) and as the
-# Python kernel (parity-pinned by tests/test_textstats.py).
-_CJK_CLASS = "[一-鿿぀-ヿ가-힯]"
+# Python kernel (parity-pinned by tests/test_textstats.py).  The CJK
+# character class comes from the kernel's compiled regex — one source
+# for a parity-critical constant across all three implementations.
+_CJK_CLASS = textstats._CJK_RE.pattern
 
 
 def _marker_lists() -> dict:

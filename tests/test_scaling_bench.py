@@ -66,6 +66,15 @@ def test_pair_report_tags_headline_vs_stress():
     assert "Raw scaling efficiency (4 -> 16 cores): best-of 0.800" in head
 
 
-def test_level_pairs_env_parse(monkeypatch):
+def test_level_pairs_parse():
     # default: headline 4,16 first then 8,32
-    assert sb.LEVEL_PAIRS[0] == (4, 16) and sb.LEVEL_PAIRS[1] == (8, 32)
+    assert sb.LEVEL_PAIRS == ((4, 16), (8, 32))
+    assert sb._parse_level_pairs("2,8") == ((2, 8),)
+    assert sb._parse_level_pairs("4,16;8,32;16,32") == (
+        (4, 16), (8, 32), (16, 32),
+    )
+    import pytest
+
+    for bad in ("4", "4,16;", "16,4", "0,4", "1,2,3"):
+        with pytest.raises(ValueError):
+            sb._parse_level_pairs(bad)

@@ -57,10 +57,21 @@ import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-# headline pair first; each pair is "lo,hi" with hi = 4*lo
-LEVEL_PAIRS = tuple(
-    tuple(int(x) for x in pair.split(","))
-    for pair in os.environ.get("SPARK_GRAFT_LEVEL_PAIRS", "4,16;8,32").split(";")
+# headline pair first; each pair is "lo,hi" with hi > lo
+
+
+def _parse_level_pairs(spec: str) -> tuple:
+    pairs = tuple(
+        tuple(int(x) for x in pair.split(",")) for pair in spec.split(";")
+    )
+    for p in pairs:
+        if len(p) != 2 or p[1] <= p[0] or p[0] < 1:
+            raise ValueError(f"bad level pair {p!r} in {spec!r}")
+    return pairs
+
+
+LEVEL_PAIRS = _parse_level_pairs(
+    os.environ.get("SPARK_GRAFT_LEVEL_PAIRS", "4,16;8,32")
 )
 # x192 (≈1M staged docs): job-fixed overhead (scheduling, stage
 # barriers, setup ≈1.8s) is <2% of the lo-level wall, matching the
