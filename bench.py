@@ -165,31 +165,16 @@ def bench_stream_state(spark, staging: str) -> dict:
     src.repartitionByRange(16, "ts").write.mode("overwrite").parquet(drop)
     # FileStreamSource picks files oldest-MTIME-first, and the parallel
     # write stamps mtimes in arbitrary task-completion order — restamp
-    # every part file's mtime in min(ts) order (parquet footer stats,
-    # driver-side) so micro-batches advance event time and the
+    # in min(ts) order so micro-batches advance event time and the
     # watermark monotonically, like a live feed.  Without this, a
     # newest-slice file in an early batch advances the watermark past
     # the older files and their rows are silently dropped as late —
     # "bounded state" would then reflect loss, not expiry.  The
     # lossless flag below (streamed rows == batch-join rows) proves
     # no such drop happened.
-    import glob
+    from deepseek_ocr_2_spark.streaming.ingest import order_files_by_event_time
 
-    import pyarrow.parquet as pq
-
-    parts = []
-    for fname in glob.glob(os.path.join(drop, "part-*.parquet")):
-        md = pq.ParquetFile(fname).metadata
-        names = [md.schema.column(i).name for i in range(md.num_columns)]
-        ts_i = names.index("ts")
-        mins = min(
-            md.row_group(g).column(ts_i).statistics.min
-            for g in range(md.num_row_groups)
-        )
-        parts.append((mins, fname))
-    t_base = time.time() - len(parts) - 1
-    for i, (_, fname) in enumerate(sorted(parts)):
-        os.utime(fname, (t_base + i, t_base + i))
+    order_files_by_event_time(drop, "ts")
 
     stream = (
         spark.readStream.schema(src.schema)

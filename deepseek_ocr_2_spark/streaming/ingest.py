@@ -37,6 +37,43 @@ from ..operators.extract import EXTRACT_SCHEMA, ExtractConfig, make_extract_kern
 from ..sources.corpus import CORPUS_SCHEMA
 
 
+def order_files_by_event_time(path: str, ts_col: str = "ts") -> int:
+    """Restamp a parquet directory's part-file mtimes in ascending
+    min(``ts_col``) order, so a file-source stream replays them in
+    EVENT-TIME order.
+
+    Spark's file stream source admits files oldest-mtime-first, but a
+    parallel batch write stamps mtimes in task-completion order — so
+    replaying a range-partitioned historical table into a watermarked
+    stream can deliver the newest event-time slice first, advance the
+    watermark past the older files, and silently drop their rows as
+    late.  For backfill/replay jobs (the standard way to rebuild
+    streaming state from history) the files must arrive like a live
+    feed would: this helper reads each footer's min stat (driver-side,
+    no Spark job) and rewrites mtimes monotonically.  Returns the
+    number of files restamped.
+    """
+    import glob
+    import time
+
+    import pyarrow.parquet as pq
+
+    parts = []
+    for fname in glob.glob(os.path.join(path, "part-*.parquet")):
+        md = pq.ParquetFile(fname).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ts_i = names.index(ts_col)
+        mins = min(
+            md.row_group(g).column(ts_i).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        parts.append((mins, fname))
+    t_base = time.time() - len(parts) - 1
+    for i, (_, fname) in enumerate(sorted(parts)):
+        os.utime(fname, (t_base + i, t_base + i))
+    return len(parts)
+
+
 def read_page_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
     """File-source stream over a parquet drop directory."""
     return (

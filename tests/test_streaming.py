@@ -266,3 +266,65 @@ def test_streaming_dedup_null_text_pages_survive(spark, tmp_path, corpus_df):
     assert len(rows) == 25
     null_urls = {r.url for r in rows if r.text is None}
     assert len(null_urls) == 5
+
+
+def test_event_time_ordered_replay_is_lossless(spark, tmp_path):
+    """Replaying a range-partitioned historical table into the
+    watermarked stream-stream join must emit EXACTLY the batch-join
+    pairs when files arrive in event-time order
+    (``order_files_by_event_time``) — and demonstrably LOSES rows when
+    the newest slice arrives first (the file source orders by mtime,
+    so a parallel write can do exactly that): the early watermark jump
+    drops every older slice as late.  This is why the helper exists."""
+    import glob
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = f"{SF_TINY}/events.parquet"
+    drop = str(tmp_path / "replay_drop")
+    events = spark.read.parquet(src)
+    events.repartitionByRange(8, "ts").write.mode("overwrite").parquet(drop)
+
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    p = events.filter(F.col("event_type") == "purchase")
+    batch_rows = p.join(
+        c,
+        (p.user_id == c.cu)
+        & (c.cts < p.ts)
+        & (c.cts >= p.ts - F.expr("INTERVAL 2 HOURS")),
+    ).count()
+    assert batch_rows > 0
+
+    def run(name: str) -> int:
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop)
+        )
+        q = (
+            ingest.stream_stream_click_purchase_join(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+            .start()
+        )
+        _await(q, 300)
+        return spark.sql(f"select count(*) n from {name}").collect()[0]["n"]
+
+    n = ingest.order_files_by_event_time(drop, "ts")
+    assert n == 8
+    # mtimes now ascend in event-time order -> replay is lossless
+    assert run("replay_ordered") == batch_rows
+
+    # adversarial order: newest event-time slice gets the OLDEST mtime
+    fs = sorted(glob.glob(os.path.join(drop, "part-*.parquet")),
+                key=os.path.getmtime)
+    base = time.time() - len(fs) - 1
+    for i, fname in enumerate(reversed(fs)):
+        os.utime(fname, (base + i, base + i))
+    assert run("replay_reversed") < batch_rows
