@@ -24,6 +24,7 @@ whatever blocks the tolerant parser can recover.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from html import unescape
 from typing import Any, Dict, List, Tuple
 
@@ -120,6 +121,25 @@ _RAWTEXT = ("script", "style", "textarea", "title")
 _RAWTEXT_CLOSE = {t: re.compile(f"</{t}", re.IGNORECASE) for t in _RAWTEXT}
 
 
+@lru_cache(maxsize=4096)
+def _is_boiler(attr_text: str) -> bool:
+    """Whether a tag's attribute text marks it as boilerplate.
+
+    Pure function of the attr string, called once per start tag; web
+    templates repeat the same class/id combinations across millions of
+    pages, so a bounded LRU cache replaces the two regex passes with a
+    dict hit on the hot path (the bound caps memory on adversarial
+    all-unique-attrs input).
+    """
+    if not attr_text:
+        return False
+    for m in _MARK_ATTR_RE.finditer(attr_text):
+        value = m.group(1).strip("\"'").lower()
+        if _BOILER_ATTR.search(value):
+            return True
+    return False
+
+
 class _BlockBuilder:
     """Tag-event consumer -> flat block list with link/boiler accounting.
 
@@ -154,15 +174,7 @@ class _BlockBuilder:
             self.blocks.append(cur)
         self._cur = Block(tag=next_tag, in_boiler=self._boiler_depth > 0)
 
-    @staticmethod
-    def _is_boiler(attr_text: str) -> bool:
-        if not attr_text:
-            return False
-        for m in _MARK_ATTR_RE.finditer(attr_text):
-            value = m.group(1).strip("\"'").lower()
-            if _BOILER_ATTR.search(value):
-                return True
-        return False
+    _is_boiler = staticmethod(_is_boiler)
 
     def start(self, tag: str, attr_text: str) -> None:
         skip = tag in SKIP_TAGS
