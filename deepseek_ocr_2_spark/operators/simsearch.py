@@ -161,19 +161,10 @@ def knn_self_join_oracle() -> str:
 NEAR_DUP_COSINE = 0.35
 
 
-def embedding_near_dup_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = NEAR_DUP_COSINE
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, exact all-pairs plan.
-
-    O(n²) by construction — two deliberate roles: (a) the oracle twin
-    of ``embedding_near_dup_lsh`` (same predicate, no candidate stage),
-    and (b) the fallback branch its router takes at thresholds where
-    banded LSH cannot prune (see ``lsh_prunes_at``).  At 10^12 rows use
-    ``embedding_near_dup_lsh`` with a production threshold (>= ~0.8):
-    its LSH branch keeps candidate generation linear.
-    """
-    emb = load(spark, sf_dir, "embeddings")
+def _exact_pair_scan(emb: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs exact cosine >= threshold over any (vec_id, embedding)
+    frame — the O(n²) plan, shared by the oracle twin and the router's
+    low-threshold fallback branch."""
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
@@ -192,14 +183,31 @@ def embedding_near_dup_pairs(
     )
 
 
-def embedding_near_dup_oracle() -> str:
+def embedding_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = NEAR_DUP_COSINE
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact all-pairs plan.
+
+    O(n²) by construction — two deliberate roles: (a) the oracle twin
+    of ``embedding_near_dup_lsh`` (same predicate, no candidate stage),
+    and (b) the fallback branch its router takes at thresholds where
+    banded LSH cannot prune (see ``lsh_prunes_at``).  At 10^12 rows use
+    ``embedding_near_dup_lsh`` with a production threshold (>= ~0.8):
+    its LSH branch keeps candidate generation linear.
+    """
+    return _exact_pair_scan(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding"), threshold
+    )
+
+
+def embedding_near_dup_oracle(threshold: float = NEAR_DUP_COSINE) -> str:
     # filter on the ROUNDED value, matching the Spark side exactly
     return f"""
     SELECT * FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-    WHERE cosine >= {NEAR_DUP_COSINE}
+    WHERE cosine >= {threshold}
     ORDER BY vec_a, vec_b
     """
 
@@ -400,9 +408,14 @@ def embedding_near_dup_lsh(
     predicate is the definition), so the all-pairs DuckDB SQL is this
     query's oracle in either regime.
     """
-    if not lsh_prunes_at(threshold):
-        return embedding_near_dup_pairs(spark, sf_dir, threshold)
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return near_dup_router(emb, threshold)
+
+
+def banded_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+    """The banded-LSH + exact-rerank scale plan over any
+    (vec_id, embedding) frame — three linear stages (band keys,
+    (band, key) self-join, rerank on candidates only)."""
     cand = lsh_candidate_pairs(emb, threshold)
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
@@ -421,6 +434,100 @@ def embedding_near_dup_lsh(
         .filter(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
+
+
+def near_dup_router(emb: DataFrame, threshold: float) -> DataFrame:
+    """Pick the banded scale plan or the exact all-pairs plan by the
+    collision model (``lsh_prunes_at``); both compute the identical
+    exact answer."""
+    if not lsh_prunes_at(threshold):
+        return _exact_pair_scan(emb, threshold)
+    return banded_near_dup_pairs(emb, threshold)
+
+
+# ---------------------------------------------------------------------------
+# The driver-verified SCALE entry (VERDICT r03 next-steps #1).
+#
+# The raw testdata's max pairwise cosine is 0.513, so a production-
+# threshold (0.9) query over it is vacuously empty — a green hash row
+# on an empty result would certify nothing.  The scale entry therefore
+# plants deterministic duplicates derived from the same table (exact
+# copies + sign-flip near-dups, both reproduced verbatim in the oracle
+# SQL), so the green row certifies that the banded branch finds real
+# pairs — including near-threshold ones the rerank must score — while
+# pruning the (now larger) corpus's random pairs.  Sign flips are used
+# because float negation is exact in both engines: no precision
+# divergence can enter the planted vectors.
+
+SCALE_NEAR_DUP_COSINE = 0.9
+PLANT_COPY_MOD = 7          # vec_id % 7 == 0 -> exact copy (cosine 1.0)
+PLANT_COPY_OFFSET = 10_000_000
+PLANT_FLIP_MOD = 11         # vec_id % 11 == 3 -> sign-flip near-dup
+PLANT_FLIP_RESIDUE = 3
+PLANT_FLIP_STRIDE = 13      # negate every 13th coordinate (0-based)
+PLANT_FLIP_OFFSET = 20_000_000
+
+
+def planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ planted duplicates (see module comment above).
+
+    At sf0.01 the flips land at cosines 0.575–0.953 against their
+    source (12 of 46 at >= 0.9, nearest 1.4e-3 from the threshold — far
+    outside round-to-6 noise), so the registered entry exercises both
+    the candidate stage AND the rerank's boundary filtering.
+    """
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % PLANT_COPY_MOD == 0).select(
+        (F.col("vec_id") + PLANT_COPY_OFFSET).alias("vec_id"), "embedding"
+    )
+    flips = emb.filter(
+        F.col("vec_id") % PLANT_FLIP_MOD == PLANT_FLIP_RESIDUE
+    ).select(
+        (F.col("vec_id") + PLANT_FLIP_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i % PLANT_FLIP_STRIDE == 0, -x).otherwise(x),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(copies).unionByName(flips)
+
+
+def embedding_near_dup_lsh_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup at a production threshold (0.9) where the bands
+    PRUNE — the driver-verified run of the banded-LSH scale path itself
+    (the t=0.35 registered entry correctly routes to all-pairs, so this
+    entry is the one whose green hash row covers the 10^12-row claim).
+    """
+    assert lsh_prunes_at(SCALE_NEAR_DUP_COSINE)
+    return banded_near_dup_pairs(
+        planted_embeddings(spark, sf_dir), SCALE_NEAR_DUP_COSINE
+    )
+
+
+def embedding_near_dup_scale_oracle() -> str:
+    """All-pairs SQL over the identical planted corpus — DuckDB
+    rebuilds the plants (exact copies + sign flips; float negation is
+    exact, so both engines see bit-identical planted vectors)."""
+    return f"""
+    WITH planted AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {PLANT_COPY_OFFSET}, embedding FROM embeddings
+      WHERE vec_id % {PLANT_COPY_MOD} = 0
+      UNION ALL
+      SELECT vec_id + {PLANT_FLIP_OFFSET},
+             list_transform(generate_series(1, len(embedding)),
+               i -> CASE WHEN (i - 1) % {PLANT_FLIP_STRIDE} = 0
+                         THEN -embedding[i] ELSE embedding[i] END)
+      FROM embeddings WHERE vec_id % {PLANT_FLIP_MOD} = {PLANT_FLIP_RESIDUE}
+    )
+    SELECT * FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+      FROM planted a JOIN planted b ON a.vec_id < b.vec_id)
+    WHERE cosine >= {SCALE_NEAR_DUP_COSINE}
+    ORDER BY vec_a, vec_b
+    """
 
 
 def _hyperplanes(dim: int, n_planes: int = N_HYPERPLANES) -> np.ndarray:
@@ -513,8 +620,15 @@ def lsh_ann_topk(
     a vanishing scan fraction as the corpus grows (n=20: ~2e-4) while
     recall on the test corpus rises 3/10 -> 8/10 over depth 1.
     """
+    from .cachereg import persist_tracked
+
     emb = load(spark, sf_dir, "embeddings")
-    buckets = lsh_buckets(spark, sf_dir)
+    # the bucket table feeds TWO consumers (the 1-row query-bucket
+    # fetch below and the candidate filter in the returned plan) —
+    # persist so the hyperplane matmul runs once (VERDICT r03 #3).  At
+    # scale this table is a precomputed index written partitioned by
+    # bucket prefix; the persist is its local stand-in.
+    buckets = persist_tracked(lsh_buckets(spark, sf_dir))
     qrow = (
         buckets.filter(F.col("vec_id") == QUERY_VEC_ID).select("bucket").collect()
     )

@@ -101,6 +101,68 @@ def test_lsh_near_dup_plan_reuses_keys_and_prunes(spark):
     release_caches()
 
 
+def test_registered_scale_entry_runs_banded_branch(spark):
+    """The REGISTERED ``embedding_near_dup_lsh_scale`` entry (the
+    driver-verified scale path, VERDICT r03 #1) must itself plan the
+    banded branch: persisted band keys reused on both candidate-join
+    sides, embeddings scans pruned to (vec_id, embedding)."""
+    import __spark_entry__ as entry
+
+    from deepseek_ocr_2_spark.operators import simsearch
+    from deepseek_ocr_2_spark.operators.cachereg import release_caches
+
+    assert simsearch.lsh_prunes_at(simsearch.SCALE_NEAR_DUP_COSINE)
+    df = entry.queries()["embedding_near_dup_lsh_scale"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert plan.count("InMemoryTableScan") >= 2, "band keys not reused"
+    for schema in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        names = {c.split(":")[0] for c in schema.split(",")}
+        assert names <= {"vec_id", "embedding"}
+    release_caches()
+
+
+def test_registered_scale_entry_finds_planted_pairs(spark):
+    """The scale entry's result over the planted corpus must contain
+    every exact-copy pair (cosine 1.0, same band keys by construction)
+    and at least one sign-flip NEAR-threshold pair — i.e. the green
+    driver row certifies recall through the candidate stage, not a
+    vacuously empty set."""
+    from deepseek_ocr_2_spark.operators import simsearch
+    from deepseek_ocr_2_spark.operators.cachereg import release_caches
+    from deepseek_ocr_2_spark.sources.stats import parquet_row_count
+
+    rows = simsearch.embedding_near_dup_lsh_scale(spark, SF_SMALL).collect()
+    release_caches()
+    n = parquet_row_count(SF_SMALL, "embeddings")
+    copies = {
+        (v, v + simsearch.PLANT_COPY_OFFSET)
+        for v in range(0, n, simsearch.PLANT_COPY_MOD)
+    }
+    got = {(r["vec_a"], r["vec_b"]) for r in rows}
+    assert copies <= got, "banded branch missed exact-copy pairs"
+    flips = [
+        r
+        for r in rows
+        if r["vec_b"] >= simsearch.PLANT_FLIP_OFFSET
+        and r["cosine"] < 1.0
+    ]
+    assert flips, "no near-threshold sign-flip pair survived"
+    assert all(r["cosine"] >= simsearch.SCALE_NEAR_DUP_COSINE for r in rows)
+
+
+def test_lsh_ann_bucket_table_computed_once(spark):
+    """``lsh_ann_topk``'s bucket table feeds two consumers (query-bucket
+    fetch + candidate filter); it must come back from cache in the
+    returned plan so the hyperplane matmul runs once (VERDICT r03 #3)."""
+    from deepseek_ocr_2_spark.operators import simsearch
+    from deepseek_ocr_2_spark.operators.cachereg import release_caches
+
+    df = simsearch.lsh_ann_topk(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, "bucket table not persisted"
+    release_caches()
+
+
 def test_lsh_near_dup_routes_to_exact_below_pruning_threshold(spark):
     """At thresholds where the collision model shows the bands admit
     >=50% of random pairs (e.g. the registered 0.35), the router must
