@@ -193,6 +193,17 @@ def bench_stream_state(spark, staging: str) -> dict:
     if not drained:
         q.stop()
     wall = time.time() - t0
+    # recentProgress is a RING BUFFER capped at
+    # spark.sql.streaming.numRecentProgressUpdates (default 100); if
+    # micro-batch count ever reached the cap, early batches would have
+    # fallen out and the output-row sum below would silently undercount
+    # — the "lossless" flag must FAIL in that case, not lie (ADVICE
+    # r03).  Safe at the current 16-files/2-per-trigger sizing; this
+    # guard makes REPLICATE/partitioning changes fail loudly instead.
+    progress_cap = int(
+        spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
+    )
+    progress_complete = len(q.recentProgress) < progress_cap
     state_rows = [
         p["stateOperators"][0]["numRowsTotal"]
         for p in q.recentProgress
@@ -226,7 +237,10 @@ def bench_stream_state(spark, staging: str) -> dict:
         "micro_batches": len(q.recentProgress),
         "joined_rows": int(out_rows),
         "batch_joined_rows": int(batch_rows),
-        "lossless": bool(drained and int(out_rows) == int(batch_rows)),
+        "progress_complete": progress_complete,
+        "lossless": bool(
+            drained and progress_complete and int(out_rows) == int(batch_rows)
+        ),
         "clicks_total": n_clicks,
         "purchases_total": n_purch,
         "max_state_rows": max(state_rows) if state_rows else 0,
@@ -307,13 +321,58 @@ def main() -> None:
             **extras,
         }
         # merge the latest two-parallelism scaling evidence if present
-        scaling_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json"
+        bench_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH"
         )
+        scaling_path = os.path.join(bench_dir, "scaling.json")
         if os.path.exists(scaling_path):
             with open(scaling_path) as f:
                 out["scaling"] = json.load(f)
-        print(json.dumps(out))
+
+        # The driver captures only the TAIL of stdout (VERDICT r03
+        # "What's wrong" #3: round 3's scaling block pushed the line
+        # past the cap and the parsed headline was lost).  Full results
+        # go to a repo file; stdout carries a compact line with the
+        # headline + per-query seconds and top-line scaling numbers.
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "bench_result.json"), "w") as f:
+            json.dump(out, f, indent=1)
+        compact = {
+            k: out[k]
+            for k in (
+                "metric", "value", "unit", "queries", "sf", "docs",
+                "extraction_wall_sec", "extraction_walls_all", "cpus",
+            )
+        }
+        for key in ("partitioned_snapshot", "stream_stream_state"):
+            blk = out.get(key)
+            if isinstance(blk, dict) and "error" in blk:
+                compact[key] = "error"
+        ss = out.get("stream_stream_state")
+        if isinstance(ss, dict) and "lossless" in ss:
+            compact["stream_lossless"] = ss["lossless"]
+        sc = out.get("scaling")
+        if isinstance(sc, dict):
+            compact["scaling"] = {
+                k: sc[k]
+                for k in (
+                    "levels", "docs_per_sec", "raw_efficiency",
+                    "machine_ceiling_efficiency",
+                    "pipeline_efficiency_vs_ceiling",
+                )
+                if k in sc
+            }
+            if isinstance(sc.get("median"), dict):
+                compact["scaling"]["median_raw_efficiency"] = sc["median"].get(
+                    "raw_efficiency"
+                )
+        compact["full_results"] = "BENCH/bench_result.json"
+        line = json.dumps(compact)
+        if len(line) > 1800:  # never regress into the tail-capture trap
+            for key in ("scaling", "extraction_walls_all"):
+                compact.pop(key, None)
+            line = json.dumps(compact)
+        print(line)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
         spark.stop()

@@ -295,22 +295,26 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         for lang, markers in _marker_lists().items()
     }
     scored = feat.select("doc_id", "lang_stored", "n", "cjk", *votes.values())
-    vde, ven, ves, vfr = (
-        F.col("v_de"), F.col("v_en"), F.col("v_es"), F.col("v_fr")
-    )
+    # the argmax cascade is GENERATED from the sorted marker keys, so
+    # adding a language to textstats._LANG_MARKERS keeps query, oracle
+    # and Python kernel in lockstep (ADVICE r03) — ties resolve to the
+    # alphabetically-first language, the same order Python's max() over
+    # sorted(votes) scans
+    langs = sorted(_marker_lists())
+    vote = {lang: F.col(f"v_{lang}") for lang in langs}
     detected = (
         F.when(F.col("n") == 0, "und")
         .when(
             (F.col("cjk") >= 5) | (F.col("cjk") / F.col("n") > 0.05), "zh"
         )
-        .when(F.greatest(vde, ven, ves, vfr) == 0, "und")
-        # ties resolve to the alphabetically-first language — the same
-        # order Python's max() over sorted(votes) scans
-        .when((vde >= ven) & (vde >= ves) & (vde >= vfr), "de")
-        .when((ven >= ves) & (ven >= vfr), "en")
-        .when(ves >= vfr, "es")
-        .otherwise("fr")
+        .when(F.greatest(*vote.values()) == 0, "und")
     )
+    for i, lang in enumerate(langs[:-1]):
+        cond = F.lit(True)
+        for other in langs[i + 1 :]:
+            cond = cond & (vote[lang] >= vote[other])
+        detected = detected.when(cond, lang)
+    detected = detected.otherwise(langs[-1])
     return scored.select(
         "doc_id", detected.alias("lang_detected"), "lang_stored"
     )
@@ -325,6 +329,18 @@ def lang_id_oracle() -> str:
         f"len(list_filter(toks, t -> t IN ({in_lists[lang]}))) AS v_{lang}"
         for lang in sorted(in_lists)
     )
+    # the CASE cascade is generated from the same sorted marker keys as
+    # the Spark query's (ADVICE r03: no hardcoded language set that
+    # could desynchronize from textstats._LANG_MARKERS)
+    langs = sorted(in_lists)
+    greatest = ", ".join(f"v_{lang}" for lang in langs)
+    arms = "\n                ".join(
+        "WHEN "
+        + " AND ".join(f"v_{lang} >= v_{o}" for o in langs[i + 1 :])
+        + f" THEN '{lang}'"
+        for i, lang in enumerate(langs[:-1])
+    )
+    last = langs[-1]
     return f"""
     WITH feat AS (
       SELECT doc_id, lang AS lang_stored,
@@ -340,11 +356,9 @@ def lang_id_oracle() -> str:
     SELECT doc_id,
            CASE WHEN n = 0 THEN 'und'
                 WHEN cjk >= 5 OR cjk*1.0/n > 0.05 THEN 'zh'
-                WHEN GREATEST(v_de, v_en, v_es, v_fr) = 0 THEN 'und'
-                WHEN v_de >= v_en AND v_de >= v_es AND v_de >= v_fr THEN 'de'
-                WHEN v_en >= v_es AND v_en >= v_fr THEN 'en'
-                WHEN v_es >= v_fr THEN 'es'
-                ELSE 'fr'
+                WHEN GREATEST({greatest}) = 0 THEN 'und'
+                {arms}
+                ELSE '{last}'
            END AS lang_detected,
            lang_stored
     FROM scored

@@ -52,26 +52,57 @@ def order_files_by_event_time(path: str, ts_col: str = "ts") -> int:
     feed would: this helper reads each footer's min stat (driver-side,
     no Spark job) and rewrites mtimes monotonically.  Returns the
     number of files restamped.
+
+    Two footer shapes need a fallback (ADVICE r03): Spark's *default*
+    TIMESTAMP type is written as INT96, which carries NO min/max
+    statistics (TIMESTAMP_NTZ / INT64 columns do), and an empty part
+    file has zero row groups.  Stat-less row groups fall back to a
+    driver-side single-column read of that file (pyarrow decodes INT96
+    fine — one column of one file, acceptable for a replay job; writing
+    history as TIMESTAMP_NTZ keeps the cheap stats-only path).  Empty
+    files sort first: they carry no events, so any order is correct —
+    they must merely still be admitted.
     """
     import glob
     import time
 
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    empty = []
     parts = []
     for fname in glob.glob(os.path.join(path, "part-*.parquet")):
-        md = pq.ParquetFile(fname).metadata
+        pf = pq.ParquetFile(fname)
+        md = pf.metadata
         names = [md.schema.column(i).name for i in range(md.num_columns)]
+        if ts_col not in names:
+            raise ValueError(
+                f"column {ts_col!r} not present in {fname} "
+                f"(columns: {names})"
+            )
+        if md.num_row_groups == 0 or md.num_rows == 0:
+            empty.append(fname)
+            continue
         ts_i = names.index(ts_col)
-        mins = min(
-            md.row_group(g).column(ts_i).statistics.min
+        stats = [
+            md.row_group(g).column(ts_i).statistics
             for g in range(md.num_row_groups)
-        )
+        ]
+        if all(s is not None and s.has_min_max for s in stats):
+            mins = min(s.min for s in stats)
+        else:
+            # INT96 (Spark's default TIMESTAMP) writes no stats —
+            # read just the ts column of this file instead
+            mins = pc.min(pf.read(columns=[ts_col])[ts_col]).as_py()
+            if mins is None:  # all-null ts: order with the empties
+                empty.append(fname)
+                continue
         parts.append((mins, fname))
-    t_base = time.time() - len(parts) - 1
-    for i, (_, fname) in enumerate(sorted(parts)):
+    ordered = sorted(empty) + [f for _, f in sorted(parts)]
+    t_base = time.time() - len(ordered) - 1
+    for i, fname in enumerate(ordered):
         os.utime(fname, (t_base + i, t_base + i))
-    return len(parts)
+    return len(ordered)
 
 
 def read_page_stream(spark: SparkSession, drop_dir: str) -> DataFrame:

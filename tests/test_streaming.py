@@ -328,3 +328,63 @@ def test_event_time_ordered_replay_is_lossless(spark, tmp_path):
     for i, fname in enumerate(reversed(fs)):
         os.utime(fname, (base + i, base + i))
     assert run("replay_reversed") < batch_rows
+
+
+def test_replay_ordering_handles_int96_and_empty_files(spark, tmp_path):
+    """ADVICE r03: the replay helper crashed on (a) TIMESTAMP (non-NTZ)
+    columns — Spark writes those as INT96, which carries no parquet
+    min/max statistics — and (b) empty part files (zero row groups).
+    Both must now order correctly: stat-less files via the per-file
+    column-read fallback, empty files first (any order is correct for
+    zero rows, but they must still be admitted)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    drop = str(tmp_path / "int96_drop")
+    events = spark.read.parquet(f"{SF_TINY}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")  # NTZ -> default TIMESTAMP
+    )
+    events.repartitionByRange(4, "ts").write.mode("overwrite").parquet(drop)
+
+    files = sorted(glob.glob(os.path.join(drop, "part-*.parquet")))
+    assert len(files) == 4
+    pf0 = pq.ParquetFile(files[0])
+    md = pf0.metadata
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    st = md.row_group(0).column(names.index("ts")).statistics
+    # the empirical repro the fallback exists for: INT96 has no stats
+    assert st is None or not st.has_min_max, (
+        "this Spark wrote stats for TIMESTAMP — update the guard test"
+    )
+
+    # plant an empty (0-row-group) part file with the same schema
+    empty_path = os.path.join(drop, "part-99990-empty.parquet")
+    pq.write_table(pf0.schema_arrow.empty_table(), empty_path)
+
+    n = ingest.order_files_by_event_time(drop, "ts")
+    assert n == 5
+
+    ordered = sorted(
+        glob.glob(os.path.join(drop, "part-*.parquet")), key=os.path.getmtime
+    )
+    assert ordered[0] == empty_path  # empties first
+    mins = []
+    for fname in ordered[1:]:
+        col = pq.ParquetFile(fname).read(columns=["ts"])["ts"]
+        mins.append(min(col.to_pylist()))
+    assert mins == sorted(mins), "files not restamped in event-time order"
+
+
+def test_replay_ordering_rejects_missing_column(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "nocol")
+    os.makedirs(path)
+    pq.write_table(
+        pa.table({"x": [1, 2]}), os.path.join(path, "part-0.parquet")
+    )
+    with pytest.raises(ValueError, match="'ts' not present"):
+        ingest.order_files_by_event_time(path, "ts")

@@ -165,3 +165,44 @@ class TestLangIdParity:
         assert detect_language("the of and to in") == "en"
         # tie-break: en/es/fr all score 1 -> alphabetically-first wins
         assert detect_language("the la") == "en"
+
+    def test_marker_set_extension_keeps_all_three_in_lockstep(
+        self, spark, monkeypatch
+    ):
+        """ADVICE r03: the argmax cascade used to hardcode
+        {de,en,es,fr}; it is now GENERATED from the sorted marker keys.
+        Adding a language must keep the JVM query, the DuckDB oracle,
+        and the Python kernel agreeing without touching any of them."""
+        import duckdb
+
+        from deepseek_ocr_2_spark.functions import textstats
+        from deepseek_ocr_2_spark.operators import textops
+
+        from .conftest import SF_TINY
+
+        extended = dict(textstats._LANG_MARKERS)
+        extended["it"] = frozenset(
+            {"il", "di", "che", "e", "per", "con", "non", "della"}
+        )
+        monkeypatch.setattr(textstats, "_LANG_MARKERS", extended)
+
+        jvm = {
+            r.doc_id: r.lang_detected
+            for r in textops.lang_id_heuristic(spark, SF_TINY).collect()
+        }
+        ker = {
+            r.doc_id: textstats.detect_language(r.text or "")
+            for r in spark.read.parquet(
+                f"{SF_TINY}/documents.parquet"
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF_TINY}/documents.parquet')"
+        )
+        dk = {
+            int(r[0]): r[1]
+            for r in con.execute(textops.lang_id_oracle()).fetchall()
+        }
+        assert jvm == ker == dk and len(jvm) > 0
