@@ -23,7 +23,10 @@ from deepseek_ocr_2_spark.operators import (
     textops,
 )
 from deepseek_ocr_2_spark.operators.extract import ExtractConfig, extract_pages
-from deepseek_ocr_2_spark.sources.corpus import build_corpus
+from deepseek_ocr_2_spark.sources.corpus import (
+    build_corpus,
+    extraction_metrics_oracle,
+)
 
 # The synthetic corpus has one giant host (3/10 of urls); naming it
 # statically skips the per-query host-count pass (which would re-run
@@ -308,8 +311,15 @@ def oracle_sql() -> dict[str, str]:
         # in SQL (float negation is exact in both engines) and runs the
         # same all-pairs predicate at t=0.9
         "embedding_near_dup_lsh_scale": simsearch.embedding_near_dup_scale_oracle(),
-        # lsh_ann_topk, extraction_* and multimodal_*: non-SQL kernels
-        # (numpy hyperplane buckets / byte-exact extraction / payload
-        # probes over the generated corpus); driver records rows-only
-        # checks for these.
+        # the metrics rollup is pure arithmetic over the corpus
+        # generator's own rules — the oracle recomputes doc/page/
+        # failure counts and the tiling token sums from `documents`
+        # without running the extraction kernel (VERDICT r03 #5)
+        "extraction_metrics": extraction_metrics_oracle(),
+        # lsh_ann_topk, the remaining extraction_* and multimodal_*:
+        # non-SQL kernels (numpy hyperplane buckets / byte-exact
+        # extraction / payload probes over the generated corpus);
+        # driver records rows-only checks for these.  The byte-exact
+        # extraction text is instead covered by the reference-
+        # differential parity suite (tests/test_reference_parity.py).
     }

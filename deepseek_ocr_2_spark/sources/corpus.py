@@ -157,16 +157,18 @@ def render_html(doc_id: int, text: str, lang: str) -> bytes:
     return page.encode("utf-8")
 
 
+PAGE_DIMS: List[Tuple[int, int]] = [
+    (640, 760),    # no-crop regime
+    (1275, 1650),  # US-letter-ish @150dpi
+    (1240, 1754),  # A4 @150dpi
+    (2480, 1748),  # landscape A5 scan, wide
+    (900, 2400),   # long receipt-style page
+]
+
+
 def page_dims(doc_id: int, page_index: int) -> Tuple[int, int]:
     """Deterministic page size; mixes the <=768 no-crop and tiled regimes."""
-    k = (doc_id * 7 + page_index * 13) % 5
-    return [
-        (640, 760),    # no-crop regime
-        (1275, 1650),  # US-letter-ish @150dpi
-        (1240, 1754),  # A4 @150dpi
-        (2480, 1748),  # landscape A5 scan, wide
-        (900, 2400),   # long receipt-style page
-    ][k]
+    return PAGE_DIMS[(doc_id * 7 + page_index * 13) % 5]
 
 
 def render_raw_output(
@@ -269,3 +271,107 @@ def payload_type_col() -> F.Column:
         F.substring(F.col("html"), 1, len(PDF_MAGIC)) == F.lit(PDF_MAGIC),
         F.lit("pdf"),
     ).otherwise(F.lit("html"))
+
+
+def extraction_metrics_oracle() -> str:
+    """DuckDB twin of ``_extraction_metrics`` (VERDICT r03 #5): every
+    column of the metrics rollup is pure arithmetic over this module's
+    OWN generator rules, so SQL can recompute it from ``documents``
+    without running the extraction kernel:
+
+    * payload routing: ``is_pdf_doc`` (``doc_id % PDF_MOD < PDF_HITS``);
+    * pdf page count: ``ceil(n_paras / 3)`` pages of 3 paragraphs
+      (``render_pdf_payload``), where ``n_paras`` replays
+      ``_paragraphs``' greedy 400-char word fold — a sequential flush
+      rule, computed here with a recursive CTE over per-word prefix
+      sums that finds one paragraph BREAK per iteration (the unique row
+      crossing ``last_break + 400``, located via ``s >= thr AND
+      prev_s < thr`` on the monotone prefix sum — no aggregate needed
+      in the recursive term), so recursion depth is max paragraphs per
+      doc, not max words;
+    * failures: the last page of every ``doc_id % EOS_FAIL_MOD == 0``
+      pdf doc lacks EOS and is dropped by the incomplete-page filter
+      (reference F2), so ``ok`` is false exactly when that doc has a
+      single page;
+    * visual tokens: ``num_image_tokens(page_dims(doc_id, pidx))`` —
+      the per-page constants are computed HERE from the same tiling
+      functions the kernel uses (257 untiled / 256+1+144k tiled), keyed
+      by ``(doc_id*7 + pidx*13) % 5``.
+
+    The byte-exact extraction text itself stays legitimately non-SQL
+    (covered by the reference-differential parity suite); this oracle
+    flips the metrics rollup from rows-only to hash-verified.
+    """
+    from ..functions.tiling import num_image_tokens
+
+    tok_case = " ".join(
+        f"WHEN {k} THEN {num_image_tokens(w, h)}"
+        for k, (w, h) in enumerate(PAGE_DIMS)
+    )
+    return f"""
+    WITH RECURSIVE
+    d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    pre AS (
+      SELECT doc_id, i,
+             SUM(len(toks[i]) + 1) OVER (PARTITION BY doc_id ORDER BY i) AS s,
+             COALESCE(SUM(len(toks[i]) + 1) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_s
+      FROM d, UNNEST(generate_series(1, len(toks))) AS g(i)
+    ),
+    breaks AS (
+      SELECT doc_id, CAST(0 AS HUGEINT) AS brk_s, 0 AS n_flush FROM d
+      UNION ALL
+      SELECT p.doc_id, p.s, b.n_flush + 1
+      FROM breaks b JOIN pre p
+        ON p.doc_id = b.doc_id
+       AND p.s >= b.brk_s + 400 AND p.prev_s < b.brk_s + 400
+    ),
+    flush AS (
+      SELECT doc_id, MAX(n_flush) AS n_flush, MAX(brk_s) AS last_brk
+      FROM breaks GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, MAX(s) AS total_s FROM pre GROUP BY doc_id),
+    paras AS (
+      SELECT f.doc_id,
+             CASE WHEN t.total_s IS NULL THEN 1
+                  ELSE f.n_flush +
+                       CASE WHEN t.total_s > f.last_brk THEN 1 ELSE 0 END
+             END AS n_paras
+      FROM flush f LEFT JOIN tot t USING (doc_id)
+    ),
+    pdf AS (
+      SELECT doc_id,
+             CAST(CEIL(n_paras / 3.0) AS BIGINT) AS n_pages,
+             CASE WHEN doc_id % {EOS_FAIL_MOD} = 0 THEN 1 ELSE 0 END AS failed
+      FROM paras WHERE doc_id % {PDF_MOD} < {PDF_HITS}
+    ),
+    pdf_tok AS (
+      SELECT doc_id,
+             SUM(CASE (doc_id * 7 + (i - 1) * 13) % 5 {tok_case} END) AS est
+      FROM pdf, UNNEST(generate_series(1, n_pages)) AS g(i)
+      GROUP BY doc_id
+    ),
+    per_doc AS (
+      SELECT doc_id, 'html' AS payload_type, TRUE AS ok,
+             1 AS n_pages, 0 AS failed, 0 AS est
+      FROM documents WHERE doc_id % {PDF_MOD} >= {PDF_HITS}
+      UNION ALL
+      SELECT p.doc_id, 'pdf',
+             NOT (p.n_pages = 1 AND p.failed = 1) AS ok,
+             p.n_pages, p.failed, t.est
+      FROM pdf p JOIN pdf_tok t USING (doc_id)
+    )
+    SELECT payload_type, ok,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_pages) AS BIGINT) AS n_pages,
+           CAST(SUM(failed) AS BIGINT) AS n_failed_pages,
+           CAST(SUM(est) AS BIGINT) AS est_visual_tokens
+    FROM per_doc
+    GROUP BY payload_type, ok
+    ORDER BY payload_type, ok
+    """

@@ -88,7 +88,7 @@ RUNS = int(os.environ.get("SPARK_GRAFT_RUNS", "8"))
 WARMUPS = int(os.environ.get("SPARK_GRAFT_WARMUPS", "8"))
 
 _CHILD = r"""
-import json, sys, time
+import json, statistics, sys, time
 cpus, corpus_path = int(sys.argv[1]), sys.argv[2]
 from pyspark.sql import SparkSession, functions as F
 # 4 tasks per core: with exactly one task per core the stage wall is
@@ -102,6 +102,14 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.driver.memory", "24g")
          .config("spark.ui.enabled", "false")
+         # speculation (VERDICT r03 #4): on this virtualized guest a
+         # single task can be stalled by vCPU steal while its
+         # neighbors idle; a speculative copy on a healthy core caps
+         # the straggler tail.  Cheap here: tasks are idempotent pure
+         # kernels, and at 4 waves/core a re-run costs <1% of the job.
+         .config("spark.speculation", "true")
+         .config("spark.speculation.multiplier", "1.5")
+         .config("spark.speculation.quantile", "0.75")
          # the parent SIGSTOPs this whole process group while the other
          # measurement children run; generous timeouts so a freeze is
          # never misread as a lost executor/heartbeat
@@ -109,7 +117,36 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
          .config("spark.executor.heartbeatInterval", "60s")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
+import deepseek_ocr_2_spark.operators.extract as X
 from deepseek_ocr_2_spark.operators.extract import ExtractConfig, extract_pages
+
+# per-task stage metrics (VERDICT r03 #4): when a round is bad, show
+# WHERE the wall went — task-wall skew (stragglers) vs uniform slowdown
+# (steal/GC).  A list accumulator collects each kernel task's wall.
+from pyspark.accumulators import AccumulatorParam
+
+class _ListParam(AccumulatorParam):
+    def zero(self, v): return []
+    def addInPlace(self, a, b): a.extend(b); return a
+
+task_walls = spark.sparkContext.accumulator([], _ListParam())
+_orig_make = X.make_extract_kernel
+
+def _timed_make(cfg):
+    inner = _orig_make(cfg)
+    def kernel(batches):
+        t0 = time.time()
+        yield from inner(batches)
+        task_walls.add([time.time() - t0])
+    return kernel
+
+X.make_extract_kernel = _timed_make
+
+def gc_ms():
+    beans = (spark._jvm.java.lang.management.ManagementFactory
+             .getGarbageCollectorMXBeans())
+    return sum(b.getCollectionTime() for b in beans)
+
 # salting ON (the corpus has a giant host holding ~30% of urls; without
 # per-url salting that host serializes into one partition and caps
 # scaling at ~threads/3 no matter the core count).  The hot-host list is
@@ -120,11 +157,22 @@ cfg = ExtractConfig(num_buckets=256, static_hot_hosts=hot)
 pages = spark.read.parquet(corpus_path)
 
 def run():
+    n0, g0 = len(task_walls.value), gc_ms()
     t0 = time.time()
     res = extract_pages(pages, cfg)
     agg = res.select(F.count(F.lit(1)).alias("docs"),
                      F.sum(F.length("extracted_text")).alias("chars")).collect()[0]
-    return time.time() - t0, int(agg["docs"])
+    wall = time.time() - t0
+    tw = task_walls.value[n0:]
+    stats = {
+        "wall": wall, "docs": int(agg["docs"]), "gc_ms": gc_ms() - g0,
+        "n_tasks": len(tw),
+    }
+    if tw:
+        stats["task_max"] = round(max(tw), 2)
+        stats["task_p50"] = round(statistics.median(tw), 2)
+        stats["task_sum"] = round(sum(tw), 1)
+    return stats
 
 for _ in range(int(sys.argv[3])):
     run()  # warm-ups: python-worker pool spin-up, JIT, page cache
@@ -135,8 +183,7 @@ print("READY", flush=True)
 for line in sys.stdin:
     if line.strip() == "EXIT":
         break
-    w, docs = run()
-    print("WALL " + json.dumps({"wall": w, "docs": docs}), flush=True)
+    print("WALL " + json.dumps(run()), flush=True)
 """
 
 # Machine ceiling: the same kernel functions through plain
@@ -302,7 +349,10 @@ def _four_way_measure(corpus_path: str, levels: tuple) -> tuple[dict, dict, list
         )
         ceil_kids[cpus].wait_ready()
         ceil_kids[cpus].suspend()
-    spark_m = {"walls": {c: [] for c in levels}, "docs": {}, "ratios": []}
+    spark_m = {
+        "walls": {c: [] for c in levels}, "docs": {}, "ratios": [],
+        "metrics": {c: [] for c in levels},
+    }
     ceil_m = {"walls": {c: [] for c in levels}, "docs": {}, "ratios": []}
     rels = []
 
