@@ -315,3 +315,70 @@ def test_multi_probe_enumeration():
     assert len(set(probes)) == 5
     probes2 = simsearch._multi_probes("0101", 2)
     assert len(probes2) == 1 + 4 + 6
+
+
+class TestAnnIndex:
+    """Persisted partitioned ANN index (the at-scale form of the
+    bucket table: one build scan, then per-query directory pruning)."""
+
+    def test_indexed_equals_in_session_topk(self, spark, tmp_path):
+        from deepseek_ocr_2_spark.operators import simsearch
+        from deepseek_ocr_2_spark.operators.cachereg import release_caches
+
+        from .conftest import SF_SMALL
+
+        idx = str(tmp_path / "ann_idx")
+        n_planes = simsearch.build_ann_index(spark, SF_SMALL, idx)
+        assert n_planes >= simsearch.N_HYPERPLANES
+        live = simsearch.lsh_ann_topk(spark, SF_SMALL).collect()
+        release_caches()
+        indexed = simsearch.lsh_ann_topk_indexed(
+            spark, SF_SMALL, idx
+        ).collect()
+        # same planes + same probe set + same exact rerank -> identical
+        assert [tuple(r) for r in indexed] == [tuple(r) for r in live]
+
+    def test_index_read_prunes_partitions(self, spark, tmp_path):
+        import re
+
+        from pyspark.sql import functions as F
+
+        from deepseek_ocr_2_spark.operators import simsearch
+
+        from .conftest import SF_SMALL
+
+        idx = str(tmp_path / "ann_idx")
+        simsearch.build_ann_index(spark, SF_SMALL, idx)
+        df = simsearch.lsh_ann_topk_indexed(spark, SF_SMALL, idx)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the INDEX scan (not the embeddings scan, whose bracket is
+        # empty) must carry the bucket_prefix partition predicate
+        filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        pf = [f for f in filters if "bucket_prefix" in f]
+        assert pf, plan[:2000]
+        # and directory pruning is real: Hamming<=2 probes flip at most
+        # 2 of the 4 prefix bits, so <= 1+4+6 = 11 of the 16 prefix
+        # dirs can appear in the partition predicate's IN-set
+        # (DataFrame.inputFiles() ignores partition pruning, so assert
+        # on the predicate itself)
+        in_set = re.findall(r"\b[01]{%d}\b" % simsearch.ANN_PREFIX_BITS, pf[0])
+        assert 0 < len(set(in_set)) <= 11, pf[0]
+
+    def test_index_seed_mismatch_raises(self, spark, tmp_path):
+        import json
+        import os
+
+        import pytest as _pytest
+
+        from deepseek_ocr_2_spark.operators import simsearch
+
+        from .conftest import SF_SMALL
+
+        idx = str(tmp_path / "ann_idx")
+        simsearch.build_ann_index(spark, SF_SMALL, idx)
+        meta_path = os.path.join(idx, "_ann_meta.json")
+        meta = json.load(open(meta_path))
+        meta["seed"] = 999
+        json.dump(meta, open(meta_path, "w"))
+        with _pytest.raises(ValueError, match="seed"):
+            simsearch.lsh_ann_topk_indexed(spark, SF_SMALL, idx)

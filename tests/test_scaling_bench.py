@@ -78,3 +78,46 @@ def test_level_pairs_parse():
     for bad in ("4", "4,16;", "16,4", "0,4", "1,2,3"):
         with pytest.raises(ValueError):
             sb._parse_level_pairs(bad)
+
+
+def test_pair_stats_trimmed_drops_single_outlier():
+    """The documented trim rule: drop exactly one lowest and one
+    highest per-pair ratio, median of the rest — a single VM-noise
+    outlier round must not drag the trimmed statistic."""
+    levels = (4, 16)
+    # three clean rounds at eff 0.85 and one 0.48 outlier
+    walls_lo = [40.0, 40.0, 40.0, 40.0]
+    walls_hi = [40.0 / (4 * 0.85)] * 3 + [40.0 / (4 * 0.48)]
+    spark_m = _mk_measure(levels, walls_lo, walls_hi)
+    ceil_m = _mk_measure(levels, walls_lo, [10.0] * 4)
+    st = sb._pair_stats(levels, spark_m, ceil_m, [1.0] * 4)
+    # truncated mean drops the 0.48 and one 0.85 -> mean of the rest
+    assert abs(st["eff_trim"] - 0.85) < 1e-9
+    # the plain mean would have been dragged to ~0.7575 by the outlier
+    assert statistics.mean(spark_m["ratios"]) < 0.76
+    assert st["json"]["trimmed"]["raw_efficiency"] == 0.85
+
+
+def test_pair_stats_trimmed_is_plain_mean_below_four_rounds():
+    levels = (4, 16)
+    spark_m = _mk_measure(levels, [40.0, 40.0], [12.0, 10.0])
+    ceil_m = _mk_measure(levels, [40.0, 40.0], [10.0, 10.0])
+    st = sb._pair_stats(levels, spark_m, ceil_m, [1.0, 1.0])
+    assert st["eff_trim"] == statistics.mean(spark_m["ratios"])
+
+
+def test_stage_metric_table_renders_and_tolerates_missing():
+    levels = (4, 16)
+    spark_m = _mk_measure(levels, [40.0], [10.0])
+    spark_m["metrics"] = {
+        4: [{"wall": 40.0, "task_p50": 0.5, "task_max": 1.5, "gc_ms": 120}],
+        16: [{"wall": 10.0, "n_tasks": 256}],  # stats missing -> dash
+    }
+    ceil_m = _mk_measure(levels, [40.0], [10.0])
+    st = sb._pair_stats(levels, spark_m, ceil_m, [1.0])
+    table = sb._stage_metric_table(st)
+    assert "3.0x" in table and "120" in table and "—" in table
+    # and the no-metrics path (unit-test measures) renders empty rows
+    st2 = sb._pair_stats(levels, _mk_measure(levels, [4.0], [1.0]),
+                         ceil_m, [1.0])
+    assert sb._stage_metric_table(st2).count("\n") == 1

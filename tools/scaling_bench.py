@@ -374,13 +374,22 @@ def _four_way_measure(corpus_path: str, levels: tuple) -> tuple[dict, dict, list
                 m["walls"][hi].append(b["wall"])
                 m["docs"][lo], m["docs"][hi] = a["docs"], b["docs"]
                 m["ratios"].append((a["wall"] / b["wall"]) / (hi / lo))
+            spark_m["metrics"][lo].append(s_lo)
+            spark_m["metrics"][hi].append(s_hi)
             rels.append(spark_m["ratios"][-1] / ceil_m["ratios"][-1])
+
+            def _skew(s):
+                p50 = s.get("task_p50") or 0
+                return f"{s.get('task_max', 0) / p50:.1f}x" if p50 else "?"
+
             print(
                 f"round {r}: spark w{lo}={s_lo['wall']:.2f} "
                 f"w{hi}={s_hi['wall']:.2f} eff={spark_m['ratios'][-1]:.3f}"
                 f" | kernel w{lo}={k_lo['wall']:.2f} "
                 f"w{hi}={k_hi['wall']:.2f} eff={ceil_m['ratios'][-1]:.3f}"
-                f" | rel={rels[-1]:.3f}",
+                f" | rel={rels[-1]:.3f}"
+                f" | skew lo={_skew(s_lo)} hi={_skew(s_hi)}"
+                f" gc lo={s_lo.get('gc_ms', 0)}ms hi={s_hi.get('gc_ms', 0)}ms",
                 flush=True,
             )
     finally:
@@ -473,8 +482,13 @@ boilerplate-rich HTML (DOM text-density extraction), one giant host
 (30% of urls) salted per-url.
 
 **Result: headline-pair (N=4 -> 4N=16) raw scaling efficiency
-{head['eff']:.3f} — {'MEETS' if head['eff'] >= 0.8 else 'below'} the >= 0.8
-north-rule target; pipeline-vs-ceiling {head['rel']:.3f}.**
+best-of {head['eff']:.3f} / median {head['eff_med']:.3f} / truncated
+mean {head['eff_trim']:.3f} — best-of {'MEETS' if head['eff'] >= 0.8
+else 'is below'} and the robust statistics
+{'MEET' if min(head['eff_med'], head['eff_trim']) >= 0.8 else
+('PARTIALLY meet' if max(head['eff_med'], head['eff_trim']) >= 0.8
+else 'are below')} the >= 0.8 north-rule target;
+pipeline-vs-ceiling {head['rel']:.3f}.**
 """)
         for i, st in enumerate(pair_stats):
             f.write(_pair_report(st, headline=(i == 0)))
@@ -539,12 +553,30 @@ def _pair_stats(levels, spark_m, ceil_m, rels) -> dict:
     eff_med = statistics.median(spark_m["ratios"])
     ceiling_med = statistics.median(ceil_m["ratios"])
     rel_med = statistics.median(rels)
+
+    # trimmed statistic (VERDICT r03 #4): symmetric truncated MEAN —
+    # drop exactly ONE lowest and ONE highest per-pair ratio, mean of
+    # the rest.  A documented rule that removes a single VM-noise
+    # outlier round without best-of's optimism, and (unlike a
+    # drop-min/max-then-median, which is identical to the plain median
+    # for even round counts) actually uses the remaining rounds'
+    # information.  Reported alongside the raw median, never instead.
+    def trimmed_mean(ratios):
+        if len(ratios) < 4:
+            return statistics.mean(ratios)
+        return statistics.mean(sorted(ratios)[1:-1])
+
+    eff_trim = trimmed_mean(spark_m["ratios"])
+    ceiling_trim = trimmed_mean(ceil_m["ratios"])
+    rel_trim = trimmed_mean(rels)
     return {
         "levels": levels, "spark_m": spark_m, "ceil_m": ceil_m,
         "rels": rels, "spark_res": spark_res, "ceil_res": ceil_res,
         "tp": tp, "ctp": ctp, "tp_med": tp_med, "ctp_med": ctp_med,
         "eff": eff, "ceiling": ceiling, "rel": rel, "eff_med": eff_med,
         "ceiling_med": ceiling_med, "rel_med": rel_med,
+        "eff_trim": eff_trim, "ceiling_trim": ceiling_trim,
+        "rel_trim": rel_trim,
         "json": {
             "docs_per_sec": {str(c): round(tp[c], 1) for c in levels},
             "ceiling_docs_per_sec": {str(c): round(ctp[c], 1) for c in levels},
@@ -557,6 +589,17 @@ def _pair_stats(levels, spark_m, ceil_m, rels) -> dict:
                 "machine_ceiling_efficiency": round(ceiling_med, 3),
                 "pipeline_efficiency_vs_ceiling": round(rel_med, 3),
             },
+            # documented trim rule: drop one min and one max per-pair
+            # ratio, median of the rest
+            "trimmed": {
+                "raw_efficiency": round(eff_trim, 3),
+                "machine_ceiling_efficiency": round(ceiling_trim, 3),
+                "pipeline_efficiency_vs_ceiling": round(rel_trim, 3),
+            },
+            "stage_metrics": {
+                str(c): spark_m.get("metrics", {}).get(c, [])
+                for c in levels
+            },
             "paired_ratios": {
                 "spark": [round(r, 3) for r in spark_m["ratios"]],
                 "ceiling": [round(r, 3) for r in ceil_m["ratios"]],
@@ -568,6 +611,23 @@ def _pair_stats(levels, spark_m, ceil_m, rels) -> dict:
             },
         },
     }
+
+
+def _stage_metric_table(st: dict) -> str:
+    lines = [
+        "| round | level | wall s | task p50 s | task max s | skew | gc ms |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for c in st["levels"]:
+        for r, m in enumerate(st["spark_m"].get("metrics", {}).get(c, [])):
+            p50 = m.get("task_p50") or 0
+            skew = f"{m.get('task_max', 0) / p50:.1f}x" if p50 else "—"
+            lines.append(
+                f"| {r} | local[{c}] | {m['wall']:.2f} | "
+                f"{m.get('task_p50', 0):.2f} | {m.get('task_max', 0):.2f} | "
+                f"{skew} | {m.get('gc_ms', 0)} |"
+            )
+    return "\n".join(lines)
 
 
 def _pair_report(st: dict, headline: bool) -> str:
@@ -593,9 +653,21 @@ def _pair_report(st: dict, headline: bool) -> str:
 | local[{hi}] | {min(spark_res[hi]['walls']):.2f} | {statistics.median(spark_res[hi]['walls']):.2f} | {spread(spark_res[hi]['walls'])} | {tp[hi]:,.0f} | {tp_med[hi]:,.0f} |
 
 **Raw scaling efficiency ({lo} -> {hi} cores): best-of {st['eff']:.3f},
-median of per-pair ratios {st['eff_med']:.3f}**
+median of per-pair ratios {st['eff_med']:.3f}, truncated mean
+{st['eff_trim']:.3f}** (trim rule: drop exactly one lowest and one
+highest per-pair ratio, mean of the rest — removes a single VM-noise
+outlier round symmetrically; raw median always reported alongside).
 (runs alternate {lo}/{hi} in pairs so noise bursts hit both sides of a
 ratio; per-pair efficiencies: {[round(r, 3) for r in st['spark_m']['ratios']]})
+
+### Per-round stage metrics (where bad rounds lose their wall)
+
+Task-wall skew (max/p50 over the stage's kernel tasks) separates
+stragglers from uniform slowdown; GC time separates JVM pressure from
+vCPU steal (a noisy-neighbor round shows wall inflation with flat GC
+and flat-to-moderate skew — time lost OUTSIDE the process).
+
+{_stage_metric_table(st)}
 
 ## Machine ceiling (same kernel, plain multiprocessing, no Spark)
 
