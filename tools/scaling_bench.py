@@ -97,11 +97,23 @@ from pyspark.sql import SparkSession, functions as F
 # waves and measured efficiency understates the plan.  2-4 waves is
 # the standard Spark sizing rule and mirrors the ceiling pool's
 # 64-chunks-over-N-procs granularity.
-spark = (SparkSession.builder.master(f"local[{cpus}]")
+import os as _os
+_builder = (SparkSession.builder.master(f"local[{cpus}]")
          .config("spark.sql.shuffle.partitions", str(4 * cpus))
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.driver.memory", "24g")
-         .config("spark.ui.enabled", "false")
+         .config("spark.ui.enabled", "false"))
+# optional tmpfs shuffle dir (SPARK_GRAFT_LOCAL_DIR=/dev/shm/...): the
+# fixed pre-kernel stage (scan + salted shuffle) is what the stage
+# metrics show the hi level paying relatively more for; shuffle files
+# in memory cut its disk I/O and its round-to-round noise — the
+# local-mode analog of the fast local SSDs a real cluster's shuffle
+# service assumes
+_ld = _os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+if _ld:
+    _os.makedirs(_ld, exist_ok=True)
+    _builder = _builder.config("spark.local.dir", _ld)
+spark = (_builder
          # speculation (VERDICT r03 #4): on this virtualized guest a
          # single task can be stalled by vCPU steal while its
          # neighbors idle; a speculative copy on a healthy core caps
@@ -153,7 +165,15 @@ def gc_ms():
 # precomputed per input snapshot (production pattern): at this
 # replication every host exceeds the threshold.
 hot = tuple(f"site{i}.example.org" for i in range(97)) + ("big.example-news.com",)
-cfg = ExtractConfig(num_buckets=256, static_hot_hosts=hot)
+# bucket count: finer buckets shrink the last-wave straggler tail the
+# stage metrics expose (task_max ~2.3x p50 at 256 buckets: PDF-heavy
+# buckets run long); per-task overhead stays negligible at bench doc
+# counts (round-3 negative result: at 5k docs finer tasks HURT — the
+# knob follows data volume)
+cfg = ExtractConfig(
+    num_buckets=int(_os.environ.get("SPARK_GRAFT_BUCKETS", "256")),
+    static_hot_hosts=hot,
+)
 pages = spark.read.parquet(corpus_path)
 
 def run():
@@ -513,6 +533,21 @@ multi-executor cluster unchanged.
                 # top-level fields = the headline (north-rule) pair
                 "levels": list(head["levels"]),
                 "docs": n_docs,
+                # measurement-config provenance: the bench child's
+                # effective knobs, so a number is never divorced from
+                # the configuration that produced it
+                "config": {
+                    "replicate": REPLICATE,
+                    "runs": RUNS,
+                    "warmups": WARMUPS,
+                    "num_buckets": int(
+                        os.environ.get("SPARK_GRAFT_BUCKETS", "256")
+                    ),
+                    "shuffle_local_dir": os.environ.get(
+                        "SPARK_GRAFT_LOCAL_DIR"
+                    ),
+                    "speculation": True,
+                },
                 **head["json"],
                 "pairs": [
                     {"levels": list(st["levels"]), **st["json"]}
