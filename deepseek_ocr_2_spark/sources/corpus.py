@@ -273,6 +273,46 @@ def payload_type_col() -> F.Column:
     ).otherwise(F.lit("html"))
 
 
+# The greedy-paragraph-fold CTE chain (see extraction_metrics_oracle's
+# docstring for the recursion argument) — shared by every oracle that
+# needs per-doc paragraph counts.
+_PARAS_CTES = """    WITH RECURSIVE
+    d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    pre AS (
+      SELECT doc_id, i,
+             SUM(len(toks[i]) + 1) OVER (PARTITION BY doc_id ORDER BY i) AS s,
+             COALESCE(SUM(len(toks[i]) + 1) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_s
+      FROM d, UNNEST(generate_series(1, len(toks))) AS g(i)
+    ),
+    breaks AS (
+      SELECT doc_id, CAST(0 AS HUGEINT) AS brk_s, 0 AS n_flush FROM d
+      UNION ALL
+      SELECT p.doc_id, p.s, b.n_flush + 1
+      FROM breaks b JOIN pre p
+        ON p.doc_id = b.doc_id
+       AND p.s >= b.brk_s + 400 AND p.prev_s < b.brk_s + 400
+    ),
+    flush AS (
+      SELECT doc_id, MAX(n_flush) AS n_flush, MAX(brk_s) AS last_brk
+      FROM breaks GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, MAX(s) AS total_s FROM pre GROUP BY doc_id),
+    paras AS (
+      SELECT f.doc_id,
+             CASE WHEN t.total_s IS NULL THEN 1
+                  ELSE f.n_flush +
+                       CASE WHEN t.total_s > f.last_brk THEN 1 ELSE 0 END
+             END AS n_paras
+      FROM flush f LEFT JOIN tot t USING (doc_id)
+    )"""
+
+
 def extraction_metrics_oracle() -> str:
     """DuckDB twin of ``_extraction_metrics`` (VERDICT r03 #5): every
     column of the metrics rollup is pure arithmetic over this module's
@@ -309,41 +349,7 @@ def extraction_metrics_oracle() -> str:
         for k, (w, h) in enumerate(PAGE_DIMS)
     )
     return f"""
-    WITH RECURSIVE
-    d AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
-                         x -> x <> '') AS toks
-      FROM documents
-    ),
-    pre AS (
-      SELECT doc_id, i,
-             SUM(len(toks[i]) + 1) OVER (PARTITION BY doc_id ORDER BY i) AS s,
-             COALESCE(SUM(len(toks[i]) + 1) OVER (PARTITION BY doc_id ORDER BY i
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_s
-      FROM d, UNNEST(generate_series(1, len(toks))) AS g(i)
-    ),
-    breaks AS (
-      SELECT doc_id, CAST(0 AS HUGEINT) AS brk_s, 0 AS n_flush FROM d
-      UNION ALL
-      SELECT p.doc_id, p.s, b.n_flush + 1
-      FROM breaks b JOIN pre p
-        ON p.doc_id = b.doc_id
-       AND p.s >= b.brk_s + 400 AND p.prev_s < b.brk_s + 400
-    ),
-    flush AS (
-      SELECT doc_id, MAX(n_flush) AS n_flush, MAX(brk_s) AS last_brk
-      FROM breaks GROUP BY doc_id
-    ),
-    tot AS (SELECT doc_id, MAX(s) AS total_s FROM pre GROUP BY doc_id),
-    paras AS (
-      SELECT f.doc_id,
-             CASE WHEN t.total_s IS NULL THEN 1
-                  ELSE f.n_flush +
-                       CASE WHEN t.total_s > f.last_brk THEN 1 ELSE 0 END
-             END AS n_paras
-      FROM flush f LEFT JOIN tot t USING (doc_id)
-    ),
+{_PARAS_CTES},
     pdf AS (
       SELECT doc_id,
              CAST(CEIL(n_paras / 3.0) AS BIGINT) AS n_pages,
@@ -374,4 +380,62 @@ def extraction_metrics_oracle() -> str:
     FROM per_doc
     GROUP BY payload_type, ok
     ORDER BY payload_type, ok
+    """
+
+
+def page_metadata_oracle() -> str:
+    """DuckDB twin of the registered ``multimodal_page_metadata``
+    projection: every *geometry / cost-model* column of the probe is
+    pure arithmetic over this generator — page count from the
+    paragraph fold, per-page (width, height, tiles, tokens, resize
+    plan) from the ``page_dims`` table keyed by
+    ``(doc_id*7 + pidx*13) % 5``, and the url from ``host_for``.
+
+    ``payload_bytes`` is deliberately NOT part of the registered
+    projection: reproducing it in SQL means replaying the exact
+    ``json.dumps`` escape arithmetic (``ensure_ascii`` \\uXXXX
+    expansions over arbitrary unicode text, y-coordinate digit counts)
+    — high fragility for a column that pytest already covers
+    byte-exactly (``tests/test_multimodal.py``); the probe's substance
+    (what the cost model and tiler consume) is hash-verified.
+    """
+    from ..functions.tiling import num_image_tokens, resize_dims, crop_ratio_for
+
+    rows = []
+    for k, (w, h) in enumerate(PAGE_DIMS):
+        wt, ht = crop_ratio_for(w, h)
+        rw, rh = resize_dims(w, h)
+        capped = "yes" if (rw, rh) != (w, h) else "no"
+        rows.append(
+            f"WHEN {k} THEN "
+            f"{{'w': {w}, 'h': {h}, 'wt': {wt}, 'ht': {ht}, "
+            f"'tok': {num_image_tokens(w, h)}, 'rw': {rw}, 'rh': {rh}, "
+            f"'capped': '{capped}'}}"
+        )
+    dim_case = " ".join(rows)
+    return f"""{_PARAS_CTES},
+    pdf AS (
+      SELECT doc_id, CAST(CEIL(n_paras / 3.0) AS BIGINT) AS n_pages
+      FROM paras WHERE doc_id % {PDF_MOD} < {PDF_HITS}
+    ),
+    pages AS (
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS page_index,
+             CASE (doc_id * 7 + (i - 1) * 13) % 5 {dim_case} END AS g
+      FROM pdf, UNNEST(generate_series(1, n_pages)) AS u(i)
+    )
+    SELECT 'https://' ||
+           CASE WHEN doc_id % {HOT_MOD} < {HOT_HITS} THEN '{HOT_HOST}'
+                ELSE 'site' || (doc_id % {N_SMALL_HOSTS}) || '.example.org'
+           END || '/articles/' || doc_id || '.html' AS url,
+           page_index,
+           CAST(g.w AS INTEGER) AS width,
+           CAST(g.h AS INTEGER) AS height,
+           CAST(g.wt AS INTEGER) AS wtiles,
+           CAST(g.ht AS INTEGER) AS htiles,
+           CAST(g.tok AS INTEGER) AS est_visual_tokens,
+           CAST(g.rw AS INTEGER) AS resized_w,
+           CAST(g.rh AS INTEGER) AS resized_h,
+           g.capped AS was_capped
+    FROM pages
+    ORDER BY url, page_index
     """
