@@ -543,6 +543,45 @@ _BUCKET_SCHEMA = StructType(
 )
 
 
+def default_plane_count(sf_dir: str) -> int:
+    """The ONE source of the corpus-sized plane-count default, shared
+    by ``lsh_buckets`` and ``build_ann_index`` so a freshly built index
+    and the live query can never silently disagree on plane count
+    (the seed check alone would not catch that).  Row count comes from
+    parquet footer statistics, never a Spark ``count()`` job; the cap
+    of 62 keeps a bucket key packable into an int64 if a caller ever
+    converts the bit string."""
+    from ..sources.stats import parquet_row_count
+
+    return min(62, ann_plane_count(parquet_row_count(sf_dir, "embeddings")))
+
+
+def _rerank_topk(emb: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact cosine rerank of a candidate vec_id set against the query
+    vector: the shared tail of ``lsh_ann_topk`` and
+    ``lsh_ann_topk_indexed`` — one definition, so tie-breaking,
+    rounding, and TOPK can never drift between the in-session and
+    indexed paths (their output-equality test certifies THIS)."""
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    return (
+        emb.join(cand, "vec_id", "left_semi")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("qvec"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qvec"))),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOPK)
+    )
+
+
 def lsh_buckets(
     spark: SparkSession, sf_dir: str, n_planes: int | None = None
 ) -> DataFrame:
@@ -556,9 +595,7 @@ def lsh_buckets(
     """
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     if n_planes is None:
-        from ..sources.stats import parquet_row_count
-
-        n_planes = min(62, ann_plane_count(parquet_row_count(sf_dir, "embeddings")))
+        n_planes = default_plane_count(sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         planes = None
@@ -634,24 +671,7 @@ def lsh_ann_topk(
     )
     probes = _multi_probes(qrow[0]["bucket"], probe_hamming)
     cand = buckets.filter(F.col("bucket").isin(probes)).select("vec_id")
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qvec")
-    )
-    return (
-        emb.join(cand, "vec_id", "left_semi")
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            F.round(
-                _dot(F.col("embedding"), F.col("qvec"))
-                / (_norm(F.col("embedding")) * _norm(F.col("qvec"))),
-                6,
-            ).alias("cosine"),
-        )
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(TOPK)
-    )
+    return _rerank_topk(emb, cand)
 
 
 # ---------------------------------------------------------------------------
@@ -661,6 +681,11 @@ def lsh_ann_topk(
 # noted the in-session persist is only its local stand-in).
 
 ANN_PREFIX_BITS = 4  # partition key = first 4 bucket bits (16 dirs)
+# partition VALUES carry a 'p' sigil ('p0101'): a bare bit string like
+# '0101' is type-inferred back as IntegerType (101) on read, making
+# prefix matching depend on implicit string->int casts of the probe
+# literals — the sigil pins the partition column to StringType
+_ANN_PREFIX_SIGIL = "p"
 _ANN_META = "_ann_meta.json"
 
 
@@ -686,14 +711,16 @@ def build_ann_index(
     import os as _os
 
     if n_planes is None:
-        from ..sources.stats import parquet_row_count
-
-        n_planes = min(
-            62, ann_plane_count(parquet_row_count(sf_dir, "embeddings"))
-        )
+        n_planes = default_plane_count(sf_dir)
     (
         lsh_buckets(spark, sf_dir, n_planes)
-        .withColumn("bucket_prefix", F.substring("bucket", 1, ANN_PREFIX_BITS))
+        .withColumn(
+            "bucket_prefix",
+            F.concat(
+                F.lit(_ANN_PREFIX_SIGIL),
+                F.substring("bucket", 1, ANN_PREFIX_BITS),
+            ),
+        )
         .write.partitionBy("bucket_prefix")
         .mode("overwrite")
         .parquet(index_dir)
@@ -737,26 +764,11 @@ def lsh_ann_topk_indexed(
     planes = _hyperplanes(len(qvec), meta["n_planes"])
     qbits = "".join("1" if s else "0" for s in (planes @ qvec) > 0)
     probes = _multi_probes(qbits, probe_hamming)
-    prefixes = sorted({p[:ANN_PREFIX_BITS] for p in probes})
+    prefixes = sorted(
+        {_ANN_PREFIX_SIGIL + p[:ANN_PREFIX_BITS] for p in probes}
+    )
     idx = spark.read.parquet(index_dir)
     cand = idx.filter(
         F.col("bucket_prefix").isin(prefixes) & F.col("bucket").isin(probes)
     ).select("vec_id")
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qvec")
-    )
-    return (
-        emb.join(cand, "vec_id", "left_semi")
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            F.round(
-                _dot(F.col("embedding"), F.col("qvec"))
-                / (_norm(F.col("embedding")) * _norm(F.col("qvec"))),
-                6,
-            ).alias("cosine"),
-        )
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(TOPK)
-    )
+    return _rerank_topk(emb, cand)

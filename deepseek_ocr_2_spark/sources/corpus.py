@@ -92,9 +92,28 @@ def is_pdf_doc(doc_id: int) -> bool:
     return doc_id % PDF_MOD < PDF_HITS
 
 
+# the generator's word splitter is pinned to EXACTLY RE2's \s class
+# ([\t\n\f\r ], ASCII) rather than str.split()'s Unicode whitespace:
+# the DuckDB oracles replay the paragraph fold with regexp_split_to_
+# array(text, '\s+') (RE2), and a U+00A0-style space would otherwise
+# split in one engine and not the other, silently shifting paragraph
+# counts.  Testdata contains no such characters today (scanned), so
+# this pin changes no bytes — it removes the latent divergence.
+_WORD_SPLIT_RE = None
+
+
+def _split_words(text: str) -> List[str]:
+    global _WORD_SPLIT_RE
+    if _WORD_SPLIT_RE is None:
+        import re
+
+        _WORD_SPLIT_RE = re.compile(r"[\t\n\f\r ]+")
+    return [w for w in _WORD_SPLIT_RE.split(text) if w]
+
+
 def _paragraphs(text: str, target_len: int = 400) -> List[str]:
     """Deterministic paragraph split: fixed-size word runs."""
-    words = text.split()
+    words = _split_words(text)
     if not words:
         return [""]
     paras: List[str] = []

@@ -59,3 +59,27 @@ def test_build_corpus_deterministic_across_runs(spark):
         for r in C.build_corpus(spark, SF_TINY).repartition(7).collect()
     }
     assert a == b
+
+
+def test_word_splitter_matches_duckdb_re2_exactly():
+    """The generator's word split is pinned to RE2's \\s class
+    ([\\t\\n\\f\\r ]) so the DuckDB oracles' regexp_split_to_array
+    replay of the paragraph fold can never diverge — \\v (not in RE2
+    \\s) and U+00A0 (Unicode space, split by str.split()) must stay
+    INSIDE words in both engines."""
+    import duckdb
+
+    from deepseek_ocr_2_spark.sources.corpus import _split_words
+
+    cases = [
+        "a\xa0b c\td\x0be\nf\rg\fh",
+        "", "   ", "\v", "one",
+        "tab\tsep  double", " line seps",
+    ]
+    con = duckdb.connect()
+    for text in cases:
+        duck = con.execute(
+            "SELECT list_filter(regexp_split_to_array(?, '\\s+'),"
+            " x -> x <> '')", [text]
+        ).fetchone()[0]
+        assert duck == _split_words(text), repr(text)

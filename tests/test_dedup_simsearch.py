@@ -360,8 +360,12 @@ class TestAnnIndex:
         # 2 of the 4 prefix bits, so <= 1+4+6 = 11 of the 16 prefix
         # dirs can appear in the partition predicate's IN-set
         # (DataFrame.inputFiles() ignores partition pruning, so assert
-        # on the predicate itself)
-        in_set = re.findall(r"\b[01]{%d}\b" % simsearch.ANN_PREFIX_BITS, pf[0])
+        # on the predicate itself; the 'p' sigil pins the partition
+        # values to StringType — a bare '0101' would be type-inferred
+        # back to the integer 101 on read)
+        in_set = re.findall(
+            r"\bp[01]{%d}\b" % simsearch.ANN_PREFIX_BITS, pf[0]
+        )
         assert 0 < len(set(in_set)) <= 11, pf[0]
 
     def test_index_seed_mismatch_raises(self, spark, tmp_path):

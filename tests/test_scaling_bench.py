@@ -81,9 +81,10 @@ def test_level_pairs_parse():
 
 
 def test_pair_stats_trimmed_drops_single_outlier():
-    """The documented trim rule: drop exactly one lowest and one
-    highest per-pair ratio, median of the rest — a single VM-noise
-    outlier round must not drag the trimmed statistic."""
+    """The documented trim rule: symmetric truncated MEAN (drop
+    exactly one lowest and one highest per-pair ratio, mean of the
+    rest) — a single VM-noise outlier round must not drag the trimmed
+    statistic."""
     levels = (4, 16)
     # three clean rounds at eff 0.85 and one 0.48 outlier
     walls_lo = [40.0, 40.0, 40.0, 40.0]
