@@ -27,6 +27,7 @@ from deepseek_ocr_2_spark.sources.corpus import (
     build_corpus,
     extraction_metrics_oracle,
     page_metadata_oracle,
+    raw_output_oracle,
 )
 
 # The synthetic corpus has one giant host (3/10 of urls); naming it
@@ -330,7 +331,13 @@ def oracle_sql() -> dict[str, str]:
         # generator arithmetic (page count from the paragraph fold,
         # dims/tiles/tokens/resize from the page_dims table)
         "multimodal_page_metadata": page_metadata_oracle(),
-        # lsh_ann_topk, the remaining extraction_* and multimodal_*:
+        # raw_output is plain string concatenation of generator parts
+        # (title ref + grounded paragraph refs + EOS), so DuckDB can
+        # rebuild it byte-exactly — paragraph text comes from the fold
+        # CTE's break word-indices
+        "extraction_raw_output": raw_output_oracle(),
+        # lsh_ann_topk, extraction_flagship and the remaining
+        # multimodal_*:
         # non-SQL kernels (numpy hyperplane buckets / byte-exact
         # extraction / payload probes over the generated corpus);
         # driver records rows-only checks for these.  The byte-exact

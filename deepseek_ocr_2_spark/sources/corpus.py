@@ -310,9 +310,11 @@ _PARAS_CTES = """    WITH RECURSIVE
       FROM d, UNNEST(generate_series(1, len(toks))) AS g(i)
     ),
     breaks AS (
-      SELECT doc_id, CAST(0 AS HUGEINT) AS brk_s, 0 AS n_flush FROM d
+      SELECT doc_id, CAST(0 AS HUGEINT) AS brk_s, 0 AS n_flush,
+             CAST(0 AS BIGINT) AS brk_i
+      FROM d
       UNION ALL
-      SELECT p.doc_id, p.s, b.n_flush + 1
+      SELECT p.doc_id, p.s, b.n_flush + 1, p.i
       FROM breaks b JOIN pre p
         ON p.doc_id = b.doc_id
        AND p.s >= b.brk_s + 400 AND p.prev_s < b.brk_s + 400
@@ -457,4 +459,111 @@ def page_metadata_oracle() -> str:
            g.capped AS was_capped
     FROM pages
     ORDER BY url, page_index
+    """
+
+
+def raw_output_oracle() -> str:
+    """DuckDB twin of the registered ``extraction_raw_output`` query:
+    rebuilds the raw model-output strings from ``documents`` exactly.
+
+    Unlike ``payload_bytes`` (JSON escape arithmetic — see
+    ``page_metadata_oracle``), ``raw_output`` is plain string
+    concatenation: ``render_raw_output`` is title line + per-paragraph
+    grounded refs + optional image ref + EOS, and with <= 3 paragraphs
+    per page the y-coordinates never hit the 990 cap, so every det tag
+    is a CONSTANT of (paragraph slot, image flag).  Paragraph TEXT is
+    recovered from the break word-indices the fold CTE carries
+    (``brk_i``): paragraph j spans words (brk_{j-1}+1 .. brk_j], the
+    trailing partial runs to the last word — both sides join with a
+    single space, and the word splitter is RE2-parity-pinned.  The
+    pages then join with the extraction config's page separator,
+    including EOS-filtered pages (reference S8/F4 semantics: raw keeps
+    what the incomplete-page filter drops).
+    """
+    from ..operators.extract import PAGE_SEPARATOR
+    from ..functions.refparse import EOS_TOKEN as _EOS
+
+    title = (
+        "'<|ref|>title<|/ref|><|det|>[[120, 30, 880, 80]]<|/det|>"
+        "# Document ' || doc_id || ' · page ' || p0 || chr(10) || chr(10)"
+    )
+    # det-tag constants per (slot s in 1..3, image flag): y advances
+    # 100 -> (+170 per text ref, +140 for the image ref after slot 1)
+    def text_ref(y, y2):
+        return (
+            f"'<|ref|>text<|/ref|><|det|>[[100, {y}, 900, {y2}]]<|/det|>'"
+        )
+
+    img_ref = "'<|ref|>image<|/ref|><|det|>[[150, 270, 850, 390]]<|/det|>'"
+    slot_sql = f"""
+          CASE s
+            WHEN 1 THEN {text_ref(100, 250)} || ptxt || chr(10) || chr(10)
+                 || CASE WHEN doc_id % 5 = 0 THEN {img_ref} ELSE '' END
+            WHEN 2 THEN CASE WHEN doc_id % 5 = 0
+                 THEN {text_ref(410, 560)} ELSE {text_ref(270, 420)} END
+                 || ptxt || chr(10) || chr(10)
+            ELSE CASE WHEN doc_id % 5 = 0
+                 THEN {text_ref(580, 730)} ELSE {text_ref(440, 590)} END
+                 || ptxt || chr(10) || chr(10)
+          END"""
+    return f"""{_PARAS_CTES},
+    pdocs AS (
+      SELECT p.doc_id, p.n_paras, d.toks, len(d.toks) AS nw
+      FROM paras p JOIN d USING (doc_id)
+      WHERE p.doc_id % {PDF_MOD} < {PDF_HITS}
+    ),
+    bl AS (
+      SELECT doc_id, list(brk_i ORDER BY brk_i) AS bks
+      FROM breaks WHERE n_flush > 0 GROUP BY doc_id
+    ),
+    ptxts AS (
+      SELECT pd.doc_id, g.j AS pj,
+             CASE WHEN pd.nw = 0 THEN ''
+                  ELSE array_to_string(pd.toks[
+                    (CASE WHEN g.j = 1 THEN CAST(1 AS BIGINT)
+                          ELSE b.bks[g.j - 1] + 1 END):
+                    (CASE WHEN g.j <= len(b.bks) THEN b.bks[g.j]
+                          ELSE pd.nw END)], ' ')
+             END AS ptxt
+      FROM pdocs pd
+      LEFT JOIN bl b USING (doc_id),
+      UNNEST(generate_series(1, pd.n_paras)) AS g(j)
+    ),
+    page_parts AS (
+      SELECT t.doc_id,
+             CAST((t.pj - 1) // 3 AS INTEGER) AS p0,
+             t.pj - ((t.pj - 1) // 3) * 3 AS s,
+             t.pj, t.ptxt
+      FROM ptxts t
+    ),
+    page_raw AS (
+      SELECT doc_id, p0,
+             string_agg({slot_sql}, '' ORDER BY pj) AS body
+      FROM page_parts GROUP BY doc_id, p0
+    ),
+    per_page AS (
+      SELECT pr.doc_id, pr.p0,
+             {title} || pr.body ||
+             CASE WHEN pr.p0 = pd.n_pages - 1 AND pr.doc_id % {EOS_FAIL_MOD} = 0
+                  THEN '' ELSE '{_EOS}' END AS raw
+      FROM page_raw pr
+      JOIN (SELECT doc_id, CAST(CEIL(n_paras / 3.0) AS BIGINT) AS n_pages
+            FROM pdocs) pd USING (doc_id)
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             string_agg(raw, '{PAGE_SEPARATOR}' ORDER BY p0) AS raw_output,
+             COUNT(*) AS n_pages
+      FROM per_page GROUP BY doc_id
+    )
+    SELECT 'https://' ||
+           CASE WHEN doc_id % {HOT_MOD} < {HOT_HITS} THEN '{HOT_HOST}'
+                ELSE 'site' || (doc_id % {N_SMALL_HOSTS}) || '.example.org'
+           END || '/articles/' || doc_id || '.html' AS url,
+           raw_output,
+           CAST(n_pages AS INTEGER) AS total_pages,
+           CAST(CASE WHEN doc_id % {EOS_FAIL_MOD} = 0 THEN 1 ELSE 0 END
+                AS INTEGER) AS failed_pages
+    FROM per_doc
+    ORDER BY url
     """
