@@ -332,8 +332,11 @@ def main() -> None:
         # The driver captures only the TAIL of stdout (VERDICT r03
         # "What's wrong" #3: round 3's scaling block pushed the line
         # past the cap and the parsed headline was lost).  Full results
-        # go to a repo file; stdout carries a compact line with the
-        # headline + per-query seconds and top-line scaling numbers.
+        # go to a GITIGNORED live file (bench runs must not dirty the
+        # tree — VERDICT r04 "What's wrong" #2); the round ritual
+        # commits a BENCH/bench_result_r{N}.json snapshot.  stdout
+        # carries a compact line with the headline + per-query seconds
+        # and top-line scaling numbers.
         os.makedirs(bench_dir, exist_ok=True)
         with open(os.path.join(bench_dir, "bench_result.json"), "w") as f:
             json.dump(out, f, indent=1)

@@ -475,7 +475,24 @@ def planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     source (12 of 46 at >= 0.9, nearest 1.4e-3 from the threshold — far
     outside round-to-6 noise), so the registered entry exercises both
     the candidate stage AND the rerank's boundary filtering.
+
+    Plant ids must not collide with real ones: at a corpus whose max
+    ``vec_id`` reaches ``PLANT_COPY_OFFSET`` the planted ids would
+    double-assign — and since the oracle replays the same arithmetic,
+    both engines would agree on the corrupted result and the hash row
+    would stay green on a semantically broken plant (ADVICE r04).  The
+    guard reads parquet footer statistics (no Spark job) and fails
+    loudly at plan-build time.
     """
+    from ..sources.stats import parquet_column_max
+
+    max_id = parquet_column_max(sf_dir, "embeddings", "vec_id")
+    if max_id is not None and max_id >= PLANT_COPY_OFFSET:
+        raise RuntimeError(
+            f"embeddings max vec_id {max_id} >= PLANT_COPY_OFFSET "
+            f"{PLANT_COPY_OFFSET}: planted ids would collide with real "
+            "rows; raise the offsets before running the scale entry"
+        )
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = emb.filter(F.col("vec_id") % PLANT_COPY_MOD == 0).select(
         (F.col("vec_id") + PLANT_COPY_OFFSET).alias("vec_id"), "embedding"
@@ -498,7 +515,14 @@ def embedding_near_dup_lsh_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the t=0.35 registered entry correctly routes to all-pairs, so this
     entry is the one whose green hash row covers the 10^12-row claim).
     """
-    assert lsh_prunes_at(SCALE_NEAR_DUP_COSINE)
+    if not lsh_prunes_at(SCALE_NEAR_DUP_COSINE):
+        # a raise, not an assert: the routing invariant (this entry's
+        # hash row certifies the BANDED plan) must survive `python -O`
+        raise RuntimeError(
+            f"scale entry requires a pruning threshold; lsh_prunes_at("
+            f"{SCALE_NEAR_DUP_COSINE}) is false — the registered scale "
+            "claim would silently certify the all-pairs plan"
+        )
     return banded_near_dup_pairs(
         planted_embeddings(spark, sf_dir), SCALE_NEAR_DUP_COSINE
     )
@@ -705,10 +729,16 @@ def build_ann_index(
     ~(probes/2^bits) of the data for multi-probe queries.  A sidecar
     ``_ann_meta.json`` records (n_planes, seed) so queries recompute
     the query vector's bucket with the exact planes that built the
-    index.  Returns the plane count used.
+    index.  The sidecar also records a corpus fingerprint (the
+    embeddings footer row count) so a query pointed at an index built
+    from a DIFFERENT snapshot raises instead of silently returning a
+    shrunken/mismatched candidate set (ADVICE r04).  Returns the plane
+    count used.
     """
     import json as _json
     import os as _os
+
+    from ..sources.stats import parquet_row_count
 
     if n_planes is None:
         n_planes = default_plane_count(sf_dir)
@@ -726,7 +756,14 @@ def build_ann_index(
         .parquet(index_dir)
     )
     with open(_os.path.join(index_dir, _ANN_META), "w") as f:
-        _json.dump({"n_planes": n_planes, "seed": LSH_SEED}, f)
+        _json.dump(
+            {
+                "n_planes": n_planes,
+                "seed": LSH_SEED,
+                "corpus_rows": parquet_row_count(sf_dir, "embeddings"),
+            },
+            f,
+        )
     return n_planes
 
 
@@ -754,6 +791,15 @@ def lsh_ann_topk_indexed(
             f"index at {index_dir} built with seed {meta['seed']}, "
             f"library seed is {LSH_SEED}"
         )
+    from ..sources.stats import parquet_row_count
+
+    rows = parquet_row_count(sf_dir, "embeddings")
+    if meta.get("corpus_rows") != rows:
+        raise ValueError(
+            f"index at {index_dir} was built from a corpus of "
+            f"{meta.get('corpus_rows')} rows; {sf_dir} has {rows} — "
+            "rebuild the index for this snapshot"
+        )
     emb = load(spark, sf_dir, "embeddings")
     qvec = np.asarray(
         emb.filter(F.col("vec_id") == QUERY_VEC_ID)
@@ -762,7 +808,14 @@ def lsh_ann_topk_indexed(
         dtype=np.float64,
     )
     planes = _hyperplanes(len(qvec), meta["n_planes"])
-    qbits = "".join("1" if s else "0" for s in (planes @ qvec) > 0)
+    # IDENTICAL expression shape to lsh_buckets' kernel ((mat @
+    # planes.T) > 0, a 1-row gemm) — a gemv (planes @ qvec) can round a
+    # near-zero plane dot differently and flip a bit, silently
+    # diverging the probe set from the index's own bucketing (ADVICE
+    # r04).  One code path, one rounding behavior.
+    qbits = "".join(
+        "1" if s else "0" for s in (qvec[None, :] @ planes.T)[0] > 0
+    )
     probes = _multi_probes(qbits, probe_hamming)
     prefixes = sorted(
         {_ANN_PREFIX_SIGIL + p[:ANN_PREFIX_BITS] for p in probes}

@@ -38,3 +38,39 @@ def parquet_row_count(sf_dir: str, name: str) -> int:
                     ).metadata.num_rows
         return total
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def parquet_column_max(sf_dir: str, name: str, column: str):
+    """Max value of ``column`` from parquet row-group statistics.
+
+    Same footer-only discipline as ``parquet_row_count``: writers keep
+    per-row-group min/max for free, so the table-wide max is a
+    driver-side metadata fold.  Returns ``None`` if no row group
+    carries statistics for the column (caller decides whether that is
+    an error)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = []
+    if os.path.isdir(path):
+        for root, _dirs, fs in os.walk(path):
+            files += [
+                os.path.join(root, f) for f in fs if f.endswith(".parquet")
+            ]
+    else:
+        files = [path]
+    best = None
+    for fp in files:
+        meta = pq.ParquetFile(fp).metadata
+        try:
+            ci = [meta.schema.column(i).name for i in
+                  range(meta.num_columns)].index(column)
+        except ValueError:
+            continue
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                continue
+            if best is None or st.max > best:
+                best = st.max
+    return best

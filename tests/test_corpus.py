@@ -83,3 +83,62 @@ def test_word_splitter_matches_duckdb_re2_exactly():
             " x -> x <> '')", [text]
         ).fetchone()[0]
         assert duck == _split_words(text), repr(text)
+
+
+# Hand-derived from the reference formula (image_process.py:447-458 at
+# /root/reference: 16**2 global + 1 separator + 144*wt*ht local when
+# tiled; no-crop when both dims <= 768) and the argmin grid selection
+# over 2..6-tile candidates (image_process.py:11-42).  HARD-CODED on
+# purpose: the oracle generators import the repo's own tiling functions
+# (sources/corpus.py), so without this pin a tiling regression would
+# corrupt kernel and oracle identically and every hash row would stay
+# green (VERDICT r04 "What's wrong" #1).
+#   (640, 760)   both <= 768 -> no crop, (1,1), 256+1        = 257
+#   (1275, 1650) aspect .773 -> grid (2,3), 256+1+144*6      = 1121
+#   (1240, 1754) aspect .707 -> grid (2,3), 256+1+144*6      = 1121
+#   (2480, 1748) aspect 1.419 -> grid (3,2), 256+1+144*6     = 1121
+#   (900, 2400)  aspect .375 -> grid (1,3), 256+1+144*3      = 689
+# All dims are under the 4096 resize cap -> resize is identity.
+_EXPECTED_PAGE_TABLE = [
+    # (w, h, wtiles, htiles, tokens, resized_w, resized_h, capped)
+    (640, 760, 1, 1, 257, 640, 760, "no"),
+    (1275, 1650, 2, 3, 1121, 1275, 1650, "no"),
+    (1240, 1754, 2, 3, 1121, 1240, 1754, "no"),
+    (2480, 1748, 3, 2, 1121, 2480, 1748, "no"),
+    (900, 2400, 1, 3, 689, 900, 2400, "no"),
+]
+
+
+def test_oracle_tiling_constants_pinned_by_hand():
+    """The generated oracle SQL must embed EXACTLY the hand-computed
+    per-PAGE_DIMS constants — closing the self-reference loop where
+    oracle generation inherits a silent tiling regression."""
+    assert [(w, h) for w, h, *_ in _EXPECTED_PAGE_TABLE] == C.PAGE_DIMS
+
+    metrics_sql = C.extraction_metrics_oracle()
+    meta_sql = C.page_metadata_oracle()
+    for k, (w, h, wt, ht, tok, rw, rh, capped) in enumerate(
+        _EXPECTED_PAGE_TABLE
+    ):
+        assert f"WHEN {k} THEN {tok}" in metrics_sql, (k, tok)
+        assert (
+            f"WHEN {k} THEN "
+            f"{{'w': {w}, 'h': {h}, 'wt': {wt}, 'ht': {ht}, "
+            f"'tok': {tok}, 'rw': {rw}, 'rh': {rh}, "
+            f"'capped': '{capped}'}}"
+        ) in meta_sql, (k, w, h)
+
+
+def test_tiling_functions_match_hand_table():
+    """And the live tiling functions agree with the same hand table
+    (so the pin catches a regression on either side of the loop)."""
+    from deepseek_ocr_2_spark.functions.tiling import (
+        crop_ratio_for,
+        num_image_tokens,
+        resize_dims,
+    )
+
+    for w, h, wt, ht, tok, rw, rh, _capped in _EXPECTED_PAGE_TABLE:
+        assert crop_ratio_for(w, h) == (wt, ht), (w, h)
+        assert num_image_tokens(w, h) == tok, (w, h)
+        assert resize_dims(w, h) == (rw, rh), (w, h)

@@ -386,3 +386,72 @@ class TestAnnIndex:
         json.dump(meta, open(meta_path, "w"))
         with _pytest.raises(ValueError, match="seed"):
             simsearch.lsh_ann_topk_indexed(spark, SF_SMALL, idx)
+
+    def test_index_corpus_mismatch_raises(self, spark, tmp_path):
+        """An index built from one snapshot must refuse to serve a
+        different corpus (ADVICE r04: the left-semi candidate join
+        would silently shrink/mismatch instead of erroring)."""
+        import json
+        import os
+
+        import pytest as _pytest
+
+        from deepseek_ocr_2_spark.operators import simsearch
+
+        from .conftest import SF_SMALL
+
+        idx = str(tmp_path / "ann_idx")
+        simsearch.build_ann_index(spark, SF_SMALL, idx)
+        meta_path = os.path.join(idx, "_ann_meta.json")
+        meta = json.load(open(meta_path))
+        meta["corpus_rows"] = meta["corpus_rows"] + 1
+        json.dump(meta, open(meta_path, "w"))
+        with _pytest.raises(ValueError, match="corpus"):
+            simsearch.lsh_ann_topk_indexed(spark, SF_SMALL, idx)
+
+    def test_indexed_query_bits_use_gemm_code_path(self):
+        """The indexed query's bucket bits must come from the SAME
+        expression shape as lsh_buckets' kernel ((mat @ planes.T) > 0,
+        a gemm) — a gemv can round a near-zero plane dot differently
+        and flip a bit (ADVICE r04).  Pin by construction: for any
+        vector, the 1-row gemm reproduces the kernel's row bits."""
+        import numpy as np
+
+        from deepseek_ocr_2_spark.operators.simsearch import _hyperplanes
+
+        rng = np.random.RandomState(7)
+        planes = _hyperplanes(64, 12)
+        for _ in range(50):
+            v = rng.standard_normal(64)
+            # make one plane dot EXACTLY the hardest case: orthogonal
+            # component only at machine-epsilon scale
+            v = v - planes[0] * (planes[0] @ v) / (planes[0] @ planes[0])
+            kernel_bits = (np.stack([v]) @ planes.T) > 0
+            query_bits = (v[None, :] @ planes.T)[0] > 0
+            assert (kernel_bits[0] == query_bits).all()
+
+
+def test_planted_embeddings_id_collision_guard(spark, tmp_path):
+    """At a corpus whose vec_ids reach PLANT_COPY_OFFSET the planted
+    ids would double-assign — and the oracle replays the same
+    arithmetic, so the hash row would stay green on a broken plant
+    (ADVICE r04).  The guard must fail loudly from footer stats."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from deepseek_ocr_2_spark.operators import simsearch
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(
+                [1, simsearch.PLANT_COPY_OFFSET + 5], type=pa.int64()
+            ),
+            "embedding": pa.array(
+                [[0.1, 0.2], [0.3, 0.4]], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    with _pytest.raises(RuntimeError, match="PLANT_COPY_OFFSET"):
+        simsearch.planted_embeddings(spark, str(tmp_path))
