@@ -326,3 +326,60 @@ def test_raw_output_column_is_config_gated(spark, corpus_rows, extracted):
                 r.extracted_text
             )
     assert saw_pdf > 0
+
+
+def test_flagship_doc_json_bytes(spark, extracted):
+    """doc_json is NOT in the registered driver projection (the
+    payload_bytes precedent — Spark to_json escape arithmetic is not
+    worth replaying in SQL), so it is byte-pinned HERE instead: for
+    every ok row it must be exactly the compact-separator JSON of the
+    flagship struct fields in declaration order, and null otherwise."""
+    import __spark_entry__ as entrymod
+
+    flag = {
+        r.url: r
+        for r in entrymod._extraction_flagship(spark, SF_TINY).collect()
+    }
+    assert set(flag) == set(extracted)
+    saw_ok = saw_failed = 0
+    for url, r in flag.items():
+        src = extracted[url]
+        if not r.ok:
+            saw_failed += 1
+            assert r.doc_json is None
+            continue
+        saw_ok += 1
+        expect = json.dumps(
+            {
+                "url": src.url,
+                "lang": src.lang,
+                "payload_type": src.payload_type,
+                "total_pages": src.total_pages,
+                "n_spans": len(src.spans),
+                "extracted_text": src.extracted_text,
+            },
+            separators=(",", ":"),
+            ensure_ascii=False,
+        )
+        assert r.doc_json == expect, f"doc_json byte mismatch for {url}"
+    assert saw_ok > 0 and saw_failed > 0
+
+
+def test_registered_flagship_is_projection_of_flagship(spark):
+    """The driver-registered entry must be exactly the flagship minus
+    doc_json (no silent column drift between the oracle-verified
+    projection and the library surface)."""
+    import __spark_entry__ as entrymod
+
+    reg = entrymod._extraction_flagship_registered(spark, SF_TINY)
+    assert reg.columns == [
+        "url", "extracted_text", "n_spans", "lang", "payload_type", "ok",
+    ]
+    full = {
+        r.url: r for r in entrymod._extraction_flagship(spark, SF_TINY).collect()
+    }
+    for r in reg.collect():
+        f = full[r.url]
+        assert (
+            r.extracted_text, r.n_spans, r.lang, r.payload_type, r.ok
+        ) == (f.extracted_text, f.n_spans, f.lang, f.payload_type, f.ok)
