@@ -27,7 +27,9 @@ from deepseek_ocr_2_spark.sources.corpus import (
     build_corpus,
     extraction_metrics_oracle,
     flagship_oracle,
+    frame_sample_oracle,
     page_metadata_oracle,
+    payload_features_oracle,
     raw_output_oracle,
 )
 
@@ -359,10 +361,15 @@ def oracle_sql() -> dict[str, str]:
         # boilerplate extractor's generator-determined decisions) —
         # doc_json stays on entry()/the library API, pytest-covered
         "extraction_flagship": flagship_oracle(),
-        # lsh_ann_topk and the remaining multimodal_*:
-        # non-SQL kernels (numpy hyperplane buckets / byte-histogram
-        # payload probes over the generated corpus); driver records
-        # rows-only checks for these.  Reference byte parity for the
-        # extraction text is ALSO covered independently by the
-        # differential parity suite (tests/test_reference_parity.py).
+        # the byte-histogram probes: both payload byte streams rebuilt
+        # in SQL (HTML template concat; PDF json.dumps replay) and the
+        # histograms recomputed over a codepoint->UTF-8-byte expansion
+        "multimodal_payload_features": payload_features_oracle(),
+        "multimodal_frame_sample": frame_sample_oracle(),
+        # lsh_ann_topk stays rows-only by design: honest ANN (the
+        # probe-bucket candidate set has no SQL twin; exactness needs
+        # cosine_topk's full scan, which IS oracle-verified).
+        # Reference byte parity for the extraction text is ALSO
+        # covered independently by the differential parity suite
+        # (tests/test_reference_parity.py).
     }

@@ -569,6 +569,66 @@ def raw_output_oracle() -> str:
     """
 
 
+# Per-paragraph text recovery from the fold CTE's break word-indices
+# (paragraph j spans words (brk_{j-1}+1 .. brk_j], trailing partial to
+# the last word) — shared by the flagship and payload-rebuild oracles.
+_PTXT_CTES = """    alldocs AS (
+      SELECT p.doc_id, p.n_paras, d.toks, len(d.toks) AS nw
+      FROM paras p JOIN d USING (doc_id)
+    ),
+    bl AS (
+      SELECT doc_id, list(brk_i ORDER BY brk_i) AS bks
+      FROM breaks WHERE n_flush > 0 GROUP BY doc_id
+    ),
+    ptext AS (
+      SELECT a.doc_id, a.n_paras, a.toks, g.j AS pj,
+             CASE WHEN g.j = 1 THEN CAST(1 AS BIGINT)
+                  ELSE b.bks[g.j - 1] + 1 END AS ws,
+             CASE WHEN g.j <= len(coalesce(b.bks, [])) THEN b.bks[g.j]
+                  ELSE a.nw END AS we
+      FROM alldocs a
+      LEFT JOIN bl b USING (doc_id),
+      UNNEST(generate_series(1, a.n_paras)) AS g(j)
+    ),
+    ptxts AS (
+      SELECT doc_id, n_paras, pj, toks, ws, we,
+             CASE WHEN nw = 0 THEN ''
+                  ELSE array_to_string(toks[ws:we], ' ') END AS ptxt
+      FROM (SELECT p.*, a.nw FROM ptext p JOIN alldocs a USING (doc_id)) t
+    ),"""
+
+
+def _utf8_bytes_expr(col: str) -> str:
+    """SQL list expression: UTF-8 bytes of string column ``col``.
+
+    Codepoints -> UTF-8 byte sequences by the encoding arithmetic
+    itself (1/2/3/4-byte forms), so the histogram below is over the
+    exact bytes ``str.encode('utf-8')`` yields — no dependence on which
+    non-ASCII characters the generator happens to emit."""
+    return f"""flatten(list_transform(
+      list_transform(generate_series(1, length({col})),
+                     i -> unicode({col}[i])),
+      c -> CASE
+        WHEN c < 128 THEN [c]
+        WHEN c < 2048 THEN [192 + c // 64, 128 + c % 64]
+        WHEN c < 65536 THEN [224 + c // 4096, 128 + (c // 64) % 64,
+                             128 + c % 64]
+        ELSE [240 + c // 262144, 128 + (c // 4096) % 64,
+              128 + (c // 64) % 64, 128 + c % 64]
+      END))"""
+
+
+def _hist_filters(dim: int) -> str:
+    """``dim`` equal-width bins over byte range [0, 256) as a list of
+    conditional-count aggregates — ``np.histogram(bins=dim,
+    range=(0, 256))`` over uint8 input reduces to ``b // (256//dim)``
+    because the right-closed last edge (256) is unreachable."""
+    w = 256 // dim
+    return ", ".join(
+        f"count(*) FILTER (b // {w} = {k})" for k in range(dim)
+    )
+
+
 def flagship_oracle() -> str:
     """DuckDB twin of the registered ``extraction_flagship`` projection
     (url, extracted_text, n_spans, lang, payload_type, ok) — the
@@ -607,30 +667,7 @@ def flagship_oracle() -> str:
     from ..operators.extract import PAGE_SEPARATOR
 
     return f"""{_PARAS_CTES},
-    alldocs AS (
-      SELECT p.doc_id, p.n_paras, d.toks, len(d.toks) AS nw
-      FROM paras p JOIN d USING (doc_id)
-    ),
-    bl AS (
-      SELECT doc_id, list(brk_i ORDER BY brk_i) AS bks
-      FROM breaks WHERE n_flush > 0 GROUP BY doc_id
-    ),
-    ptext AS (
-      SELECT a.doc_id, a.n_paras, a.toks, g.j AS pj,
-             CASE WHEN g.j = 1 THEN CAST(1 AS BIGINT)
-                  ELSE b.bks[g.j - 1] + 1 END AS ws,
-             CASE WHEN g.j <= len(coalesce(b.bks, [])) THEN b.bks[g.j]
-                  ELSE a.nw END AS we
-      FROM alldocs a
-      LEFT JOIN bl b USING (doc_id),
-      UNNEST(generate_series(1, a.n_paras)) AS g(j)
-    ),
-    ptxts AS (
-      SELECT doc_id, n_paras, pj, toks, ws, we,
-             CASE WHEN nw = 0 THEN ''
-                  ELSE array_to_string(toks[ws:we], ' ') END AS ptxt
-      FROM (SELECT p.*, a.nw FROM ptext p JOIN alldocs a USING (doc_id)) t
-    ),
+{_PTXT_CTES}
     html_kept AS (
       SELECT doc_id, pj,
              CASE WHEN pj = 2 AND n_paras > 2 AND doc_id % 3 = 0 THEN
@@ -718,4 +755,213 @@ def flagship_oracle() -> str:
            e.extracted_text, e.n_spans, doc.lang, e.payload_type, e.ok
     FROM every_doc e JOIN documents doc USING (doc_id)
     ORDER BY url
+    """
+
+
+# The raw-page rebuild used by the payload oracles: per-(doc, page)
+# raw model-output strings + page geometry, as CTE text appended after
+# {_PTXT_CTES}.  Mirrors raw_output_oracle's construction (det tags
+# are constants of (slot, image flag); title/EOS per generator rules)
+# but keyed to expose (doc_id, p0, raw, w, h, n_pages) for downstream
+# byte arithmetic instead of the document-level join.
+def _pdf_page_raw_ctes() -> str:
+    from ..functions.refparse import EOS_TOKEN as _EOS
+
+    def text_ref(y, y2):
+        return (
+            f"'<|ref|>text<|/ref|><|det|>[[100, {y}, 900, {y2}]]<|/det|>'"
+        )
+
+    img_ref = "'<|ref|>image<|/ref|><|det|>[[150, 270, 850, 390]]<|/det|>'"
+    slot_sql = f"""
+          CASE s
+            WHEN 1 THEN {text_ref(100, 250)} || ptxt || chr(10) || chr(10)
+                 || CASE WHEN doc_id % 5 = 0 THEN {img_ref} ELSE '' END
+            WHEN 2 THEN CASE WHEN doc_id % 5 = 0
+                 THEN {text_ref(410, 560)} ELSE {text_ref(270, 420)} END
+                 || ptxt || chr(10) || chr(10)
+            ELSE CASE WHEN doc_id % 5 = 0
+                 THEN {text_ref(580, 730)} ELSE {text_ref(440, 590)} END
+                 || ptxt || chr(10) || chr(10)
+          END"""
+    dim_case = " ".join(
+        f"WHEN {k} THEN {{'w': {w}, 'h': {h}}}"
+        for k, (w, h) in enumerate(PAGE_DIMS)
+    )
+    return f"""
+    pdf_pages AS (
+      SELECT doc_id, CAST((pj - 1) // 3 AS INTEGER) AS p0,
+             pj - ((pj - 1) // 3) * 3 AS s, pj, ptxt,
+             CAST(CEIL(n_paras / 3.0) AS BIGINT) AS n_pages
+      FROM ptxts
+      WHERE doc_id % {PDF_MOD} < {PDF_HITS}
+    ),
+    pdf_raw AS (
+      SELECT b.doc_id, b.p0, b.n_pages, g.w, g.h,
+             '<|ref|>title<|/ref|><|det|>[[120, 30, 880, 80]]<|/det|>'
+             || '# Document ' || b.doc_id || ' · page ' || b.p0
+             || chr(10) || chr(10) || b.body ||
+             CASE WHEN b.p0 = b.n_pages - 1
+                       AND b.doc_id % {EOS_FAIL_MOD} = 0
+                  THEN '' ELSE '{_EOS}' END AS raw
+      FROM (
+        SELECT doc_id, p0, MAX(n_pages) AS n_pages,
+               string_agg({slot_sql}, '' ORDER BY pj) AS body
+        FROM pdf_pages GROUP BY doc_id, p0
+      ) b,
+      LATERAL (SELECT CASE (b.doc_id * 7 + b.p0 * 13) % 5 {dim_case}
+               END AS g) t
+    )"""
+
+
+def payload_features_oracle() -> str:
+    """DuckDB twin of the registered ``multimodal_payload_features``
+    projection (url, modality, feature_csv): rebuilds BOTH payload
+    byte streams in SQL and recomputes the 16-bin byte histogram.
+
+    * the HTML payload is the generator's template — pure string
+      concatenation over (doc_id, lang, paragraph texts), with the
+      ``doc_id % 3 == 0`` inline anchor inserted at the middle
+      paragraph's word midpoint;
+    * the PDF payload is ``PDF_MAGIC`` + the ``json.dumps`` replay:
+      with no quotes/backslashes in the generated raw strings the only
+      escapes are LF -> ``\\n`` and ``ensure_ascii`` ``\\uXXXX`` for
+      the three non-ASCII codepoints the generator emits;
+    * the byte histogram is computed over the UTF-8 byte expansion of
+      the rebuilt string (codepoint -> byte-sequence arithmetic, so
+      multi-byte characters land in the same bins as the kernel's
+      ``np.frombuffer(payload, uint8)``).
+
+    Both rebuilds were verified byte-equal to the real payloads on all
+    500 sf0.01 docs before the histogram layer was added.
+    """
+    nav_items = "".join(
+        f'<li><a href="/cat/{k}">Category {k}</a></li>' for k in range(6)
+    )
+    related_sql = " || ".join(
+        f"'<li><a href=\"/a/' || (doc_id + {k}) || '\">Related story '"
+        f" || (doc_id + {k}) || '</a></li>'"
+        for k in range(1, 5)
+    )
+    esc = (
+        "replace(replace(replace(replace(raw, chr(10), '\\n'),"
+        " '·', '\\u00b7'), '｜', '\\uff5c'),"
+        " '▁', '\\u2581')"
+    )
+    return f"""{_PARAS_CTES},
+{_PTXT_CTES}
+{_pdf_page_raw_ctes()},
+    html_paras AS (
+      SELECT doc_id, pj,
+             CASE WHEN pj = 2 AND n_paras > 2 AND doc_id % 3 = 0 THEN
+               array_to_string(toks[ws : ws + (we - ws + 1) // 2 - 1], ' ')
+               || ' <a href="/ref/' || doc_id || '">source ' || doc_id
+               || '</a> ' ||
+               array_to_string(toks[ws + (we - ws + 1) // 2 : we], ' ')
+             ELSE ptxt END AS ptxt
+      FROM ptxts
+      WHERE doc_id % {PDF_MOD} >= {PDF_HITS}
+    ),
+    html_payload AS (
+      SELECT a.doc_id, 'html' AS modality,
+             '<!DOCTYPE html>' || chr(10) ||
+             '<html lang="' || doc.lang || '"><head><title>Article '
+             || a.doc_id || '</title>' || chr(10) ||
+             '<script>var trk=' || a.doc_id || ';track(trk);</script>'
+             || chr(10) ||
+             '<style>.main {{ color: #222 }}</style></head>' || chr(10) ||
+             '<body>' || chr(10) ||
+             '<nav class="top-nav"><ul>{nav_items}</ul></nav>' || chr(10) ||
+             '<div class="ads banner">Buy now! Limited offer '
+             || (a.doc_id % 50) || '% off!</div>' || chr(10) ||
+             '<article class="main">' || chr(10) ||
+             '<h1>Article ' || a.doc_id || '</h1>' || chr(10) ||
+             k.article || chr(10) ||
+             '</article>' || chr(10) ||
+             '<aside class="sidebar related"><ul>' || {related_sql}
+             || '</ul></aside>' || chr(10) ||
+             '<footer class="footer">© example.org · '
+             || '<a href="/tos">Terms</a> ·' || chr(10) ||
+             '<a href="/privacy">Privacy</a></footer>' || chr(10) ||
+             '</body></html>' AS s
+      FROM alldocs a
+      JOIN documents doc USING (doc_id)
+      JOIN (SELECT doc_id,
+                   string_agg('<p>' || ptxt || '</p>', chr(10)
+                              ORDER BY pj) AS article
+            FROM html_paras GROUP BY doc_id) k USING (doc_id)
+      WHERE a.doc_id % {PDF_MOD} >= {PDF_HITS}
+    ),
+    pdf_payload AS (
+      SELECT doc_id, 'pdf' AS modality,
+             '%PDF-STUB1' || chr(10) ||
+             '{{"doc_id": ' || doc_id || ', "pages": [' ||
+             string_agg(
+               '{{"width": ' || w || ', "height": ' || h
+               || ', "raw_output": "' || {esc} || '"}}',
+               ', ' ORDER BY p0) || ']}}' AS s
+      FROM pdf_raw GROUP BY doc_id
+    ),
+    payloads AS (
+      SELECT * FROM html_payload UNION ALL SELECT * FROM pdf_payload
+    ),
+    pb AS (
+      SELECT doc_id, modality, UNNEST({_utf8_bytes_expr("s")}) AS b
+      FROM payloads
+    ),
+    feats AS (
+      SELECT doc_id, modality,
+             array_to_string([{_hist_filters(16)}], ',') AS feature_csv
+      FROM pb GROUP BY doc_id, modality
+    )
+    SELECT 'https://' ||
+           CASE WHEN doc_id % {HOT_MOD} < {HOT_HITS} THEN '{HOT_HOST}'
+                ELSE 'site' || (doc_id % {N_SMALL_HOSTS})
+                     || '.example.org'
+           END || '/articles/' || doc_id || '.html' AS url,
+           modality, feature_csv
+    FROM feats
+    ORDER BY url
+    """
+
+
+def frame_sample_oracle() -> str:
+    """DuckDB twin of the registered ``multimodal_frame_sample``
+    projection (url, frame_index, n_frames, frame_feature_csv): the
+    uniform-stride frame selection (``idx = j * n // min(4, n)``) over
+    the PDF payloads' page sequence, with the 8-bin byte histogram of
+    each sampled page's raw string (same UTF-8 byte expansion as
+    ``payload_features_oracle``)."""
+    return f"""{_PARAS_CTES},
+{_PTXT_CTES}
+{_pdf_page_raw_ctes()},
+    sel AS (
+      SELECT doc_id, (g.j * n_pages) // LEAST(4, n_pages) AS idx
+      FROM (SELECT DISTINCT doc_id, n_pages FROM pdf_raw) d,
+      UNNEST(generate_series(0, LEAST(4, n_pages) - 1)) AS g(j)
+    ),
+    frames AS (
+      SELECT r.doc_id, r.p0 AS frame_index,
+             CAST(r.n_pages AS INTEGER) AS n_frames, r.raw
+      FROM pdf_raw r JOIN sel s ON r.doc_id = s.doc_id AND r.p0 = s.idx
+    ),
+    fb AS (
+      SELECT doc_id, frame_index, n_frames,
+             UNNEST({_utf8_bytes_expr("raw")}) AS b
+      FROM frames
+    ),
+    feats AS (
+      SELECT doc_id, frame_index, n_frames,
+             array_to_string([{_hist_filters(8)}], ',')
+               AS frame_feature_csv
+      FROM fb GROUP BY doc_id, frame_index, n_frames
+    )
+    SELECT 'https://' ||
+           CASE WHEN doc_id % {HOT_MOD} < {HOT_HITS} THEN '{HOT_HOST}'
+                ELSE 'site' || (doc_id % {N_SMALL_HOSTS})
+                     || '.example.org'
+           END || '/articles/' || doc_id || '.html' AS url,
+           frame_index, n_frames, frame_feature_csv
+    FROM feats
+    ORDER BY url, frame_index
     """

@@ -128,6 +128,14 @@ def test_oracle_tiling_constants_pinned_by_hand():
             f"'capped': '{capped}'}}"
         ) in meta_sql, (k, w, h)
 
+    # the payload-rebuild oracles embed the page dims too
+    payload_sql = C.payload_features_oracle()
+    frame_sql = C.frame_sample_oracle()
+    for k, (w, h, *_rest) in enumerate(_EXPECTED_PAGE_TABLE):
+        frag = f"WHEN {k} THEN {{'w': {w}, 'h': {h}}}"
+        assert frag in payload_sql, (k, w, h)
+        assert frag in frame_sql, (k, w, h)
+
 
 def test_tiling_functions_match_hand_table():
     """And the live tiling functions agree with the same hand table
