@@ -487,7 +487,16 @@ def planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.stats import parquet_column_max
 
     max_id = parquet_column_max(sf_dir, "embeddings", "vec_id")
-    if max_id is not None and max_id >= PLANT_COPY_OFFSET:
+    if max_id is None:
+        # absent footer stats means the invariant CANNOT be proven —
+        # failing open here would re-open the silent-corruption window
+        # the guard exists to close (code review r05)
+        raise RuntimeError(
+            f"embeddings at {sf_dir} carry no vec_id footer statistics; "
+            "cannot prove planted ids won't collide — rewrite the table "
+            "with statistics enabled"
+        )
+    if max_id >= PLANT_COPY_OFFSET:
         raise RuntimeError(
             f"embeddings max vec_id {max_id} >= PLANT_COPY_OFFSET "
             f"{PLANT_COPY_OFFSET}: planted ids would collide with real "
@@ -557,6 +566,17 @@ def embedding_near_dup_scale_oracle() -> str:
 def _hyperplanes(dim: int, n_planes: int = N_HYPERPLANES) -> np.ndarray:
     rng = np.random.RandomState(LSH_SEED)
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def _bucket_keys(mat: np.ndarray, planes: np.ndarray) -> List[str]:
+    """THE bucket-bit computation — one definition shared by the index
+    build kernel (``lsh_buckets``) and the driver-side query path
+    (``lsh_ann_topk_indexed``), so sign decisions on near-zero plane
+    dot products can never come from two differently-rounding
+    expressions (ADVICE r04; made structural after code review r05
+    showed an expression-shape copy is not a pin)."""
+    signs = (mat @ planes.T) > 0  # [n, planes]
+    return ["".join("1" if s else "0" for s in row) for row in signs]
 
 
 _BUCKET_SCHEMA = StructType(
@@ -631,10 +651,7 @@ def lsh_buckets(
             )
             if planes is None:
                 planes = _hyperplanes(mat.shape[1], n_planes)
-            signs = (mat @ planes.T) > 0  # [n, planes]
-            keys = [
-                "".join("1" if s else "0" for s in row) for row in signs
-            ]
+            keys = _bucket_keys(mat, planes)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"].astype("int64"), "bucket": keys}
             )
@@ -738,8 +755,6 @@ def build_ann_index(
     import json as _json
     import os as _os
 
-    from ..sources.stats import parquet_row_count
-
     if n_planes is None:
         n_planes = default_plane_count(sf_dir)
     (
@@ -760,11 +775,32 @@ def build_ann_index(
             {
                 "n_planes": n_planes,
                 "seed": LSH_SEED,
-                "corpus_rows": parquet_row_count(sf_dir, "embeddings"),
+                "fingerprint": _corpus_fingerprint(sf_dir),
             },
             f,
         )
     return n_planes
+
+
+def _corpus_fingerprint(sf_dir: str) -> dict:
+    """Footer-only corpus identity for the ANN index sidecar: row
+    count + total compressed bytes + max vec_id.  A row count alone
+    accepts any equal-cardinality regeneration (code review r05);
+    content edits at equal cardinality almost always move compressed
+    sizes, and id reshuffles move the max.  Still not a content hash —
+    a deliberate collision is possible — but it catches the realistic
+    regenerated-/re-seeded-snapshot class without scanning data."""
+    from ..sources.stats import (
+        parquet_column_max,
+        parquet_row_count,
+        parquet_total_bytes,
+    )
+
+    return {
+        "rows": parquet_row_count(sf_dir, "embeddings"),
+        "bytes": parquet_total_bytes(sf_dir, "embeddings"),
+        "max_vec_id": parquet_column_max(sf_dir, "embeddings", "vec_id"),
+    }
 
 
 def lsh_ann_topk_indexed(
@@ -791,14 +827,12 @@ def lsh_ann_topk_indexed(
             f"index at {index_dir} built with seed {meta['seed']}, "
             f"library seed is {LSH_SEED}"
         )
-    from ..sources.stats import parquet_row_count
-
-    rows = parquet_row_count(sf_dir, "embeddings")
-    if meta.get("corpus_rows") != rows:
+    fp = _corpus_fingerprint(sf_dir)
+    if meta.get("fingerprint") != fp:
         raise ValueError(
-            f"index at {index_dir} was built from a corpus of "
-            f"{meta.get('corpus_rows')} rows; {sf_dir} has {rows} — "
-            "rebuild the index for this snapshot"
+            f"index at {index_dir} was built from a different snapshot "
+            f"(index fingerprint {meta.get('fingerprint')}, live corpus "
+            f"{fp}) — rebuild the index for this snapshot"
         )
     emb = load(spark, sf_dir, "embeddings")
     qvec = np.asarray(
@@ -808,14 +842,9 @@ def lsh_ann_topk_indexed(
         dtype=np.float64,
     )
     planes = _hyperplanes(len(qvec), meta["n_planes"])
-    # IDENTICAL expression shape to lsh_buckets' kernel ((mat @
-    # planes.T) > 0, a 1-row gemm) — a gemv (planes @ qvec) can round a
-    # near-zero plane dot differently and flip a bit, silently
-    # diverging the probe set from the index's own bucketing (ADVICE
-    # r04).  One code path, one rounding behavior.
-    qbits = "".join(
-        "1" if s else "0" for s in (qvec[None, :] @ planes.T)[0] > 0
-    )
+    # the SAME function the build kernel ran — one code path, one
+    # rounding behavior for the sign decisions (ADVICE r04 / review r05)
+    qbits = _bucket_keys(qvec[None, :], planes)[0]
     probes = _multi_probes(qbits, probe_hamming)
     prefixes = sorted(
         {_ANN_PREFIX_SIGIL + p[:ANN_PREFIX_BITS] for p in probes}

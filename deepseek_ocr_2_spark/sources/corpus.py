@@ -629,6 +629,32 @@ def _hist_filters(dim: int) -> str:
     )
 
 
+
+# One definition of the paragraphs->pages fold (3 paragraph slots per
+# page) shared by every oracle that reconstructs PDF pages — a
+# pagination change edited in one copy can no longer desynchronize the
+# flagship oracle from the payload oracles (code review r05).
+_PDF_PAGES_CTE = f"""    pdf_pages AS (
+      SELECT doc_id, CAST((pj - 1) // 3 AS INTEGER) AS p0,
+             pj - ((pj - 1) // 3) * 3 AS s, pj, ptxt,
+             CAST(CEIL(n_paras / 3.0) AS BIGINT) AS n_pages
+      FROM ptxts
+      WHERE doc_id % {PDF_MOD} < {PDF_HITS}
+    )"""
+
+
+def _anchor_split_case(insert_sql: str) -> str:
+    """The doc_id%3==0 middle-paragraph anchor insertion at the word
+    midpoint, parameterized by what gets inserted (anchor TEXT for the
+    extraction model, anchor MARKUP for the payload rebuild) — one
+    definition of the midpoint arithmetic."""
+    return f"""CASE WHEN pj = 2 AND n_paras > 2 AND doc_id % 3 = 0 THEN
+               array_to_string(toks[ws : ws + (we - ws + 1) // 2 - 1], ' ')
+               || {insert_sql} ||
+               array_to_string(toks[ws + (we - ws + 1) // 2 : we], ' ')
+             ELSE ptxt END"""
+
+
 def flagship_oracle() -> str:
     """DuckDB twin of the registered ``extraction_flagship`` projection
     (url, extracted_text, n_spans, lang, payload_type, ok) — the
@@ -670,11 +696,7 @@ def flagship_oracle() -> str:
 {_PTXT_CTES}
     html_kept AS (
       SELECT doc_id, pj,
-             CASE WHEN pj = 2 AND n_paras > 2 AND doc_id % 3 = 0 THEN
-               array_to_string(toks[ws : ws + (we - ws + 1) // 2 - 1], ' ')
-               || ' source ' || doc_id || ' ' ||
-               array_to_string(toks[ws + (we - ws + 1) // 2 : we], ' ')
-             ELSE ptxt END AS ptxt
+             {_anchor_split_case("' source ' || doc_id || ' '")} AS ptxt
       FROM ptxts
       WHERE doc_id % {PDF_MOD} >= {PDF_HITS}
     ),
@@ -697,13 +719,7 @@ def flagship_oracle() -> str:
       FROM alldocs a LEFT JOIN html_body k USING (doc_id)
       WHERE a.doc_id % {PDF_MOD} >= {PDF_HITS}
     ),
-    pdf_pages AS (
-      SELECT doc_id, CAST((pj - 1) // 3 AS INTEGER) AS p0,
-             pj - ((pj - 1) // 3) * 3 AS s, pj, ptxt,
-             CAST(CEIL(n_paras / 3.0) AS BIGINT) AS n_pages
-      FROM ptxts
-      WHERE doc_id % {PDF_MOD} < {PDF_HITS}
-    ),
+{_PDF_PAGES_CTE},
     pdf_body AS (
       SELECT doc_id, p0, MAX(n_pages) AS n_pages,
              string_agg(
@@ -789,13 +805,7 @@ def _pdf_page_raw_ctes() -> str:
         for k, (w, h) in enumerate(PAGE_DIMS)
     )
     return f"""
-    pdf_pages AS (
-      SELECT doc_id, CAST((pj - 1) // 3 AS INTEGER) AS p0,
-             pj - ((pj - 1) // 3) * 3 AS s, pj, ptxt,
-             CAST(CEIL(n_paras / 3.0) AS BIGINT) AS n_pages
-      FROM ptxts
-      WHERE doc_id % {PDF_MOD} < {PDF_HITS}
-    ),
+{_PDF_PAGES_CTE},
     pdf_raw AS (
       SELECT b.doc_id, b.p0, b.n_pages, g.w, g.h,
              '<|ref|>title<|/ref|><|det|>[[120, 30, 880, 80]]<|/det|>'
@@ -848,17 +858,15 @@ def payload_features_oracle() -> str:
         " '·', '\\u00b7'), '｜', '\\uff5c'),"
         " '▁', '\\u2581')"
     )
+    anchor_markup = (
+        """' <a href="/ref/' || doc_id || '">source ' || doc_id || '</a> '"""
+    )
     return f"""{_PARAS_CTES},
 {_PTXT_CTES}
 {_pdf_page_raw_ctes()},
     html_paras AS (
       SELECT doc_id, pj,
-             CASE WHEN pj = 2 AND n_paras > 2 AND doc_id % 3 = 0 THEN
-               array_to_string(toks[ws : ws + (we - ws + 1) // 2 - 1], ' ')
-               || ' <a href="/ref/' || doc_id || '">source ' || doc_id
-               || '</a> ' ||
-               array_to_string(toks[ws + (we - ws + 1) // 2 : we], ' ')
-             ELSE ptxt END AS ptxt
+             {_anchor_split_case(anchor_markup)} AS ptxt
       FROM ptxts
       WHERE doc_id % {PDF_MOD} >= {PDF_HITS}
     ),

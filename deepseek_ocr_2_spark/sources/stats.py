@@ -27,17 +27,25 @@ def parquet_row_count(sf_dir: str, name: str) -> int:
     """
     import pyarrow.parquet as pq
 
+    return sum(
+        pq.ParquetFile(fp).metadata.num_rows
+        for fp in _parquet_files(sf_dir, name)
+    )
+
+
+def _parquet_files(sf_dir: str, name: str) -> list:
+    """The one 'single file vs directory of part files' listing rule,
+    shared by every footer reader in this module (a fix to the listing
+    — e.g. skipping stray temporary dirs — must reach all of them)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if os.path.isdir(path):
-        total = 0
-        for root, _dirs, files in os.walk(path):
-            for f in files:
-                if f.endswith(".parquet"):
-                    total += pq.ParquetFile(
-                        os.path.join(root, f)
-                    ).metadata.num_rows
-        return total
-    return pq.ParquetFile(path).metadata.num_rows
+    if not os.path.isdir(path):
+        return [path]
+    files = []
+    for root, _dirs, fs in os.walk(path):
+        files += [
+            os.path.join(root, f) for f in fs if f.endswith(".parquet")
+        ]
+    return files
 
 
 def parquet_column_max(sf_dir: str, name: str, column: str):
@@ -45,22 +53,13 @@ def parquet_column_max(sf_dir: str, name: str, column: str):
 
     Same footer-only discipline as ``parquet_row_count``: writers keep
     per-row-group min/max for free, so the table-wide max is a
-    driver-side metadata fold.  Returns ``None`` if no row group
-    carries statistics for the column (caller decides whether that is
-    an error)."""
+    driver-side metadata fold.  Returns ``None`` if NO row group
+    carries statistics for the column — callers guarding an invariant
+    must treat None as "cannot prove", not "proved safe"."""
     import pyarrow.parquet as pq
 
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    files = []
-    if os.path.isdir(path):
-        for root, _dirs, fs in os.walk(path):
-            files += [
-                os.path.join(root, f) for f in fs if f.endswith(".parquet")
-            ]
-    else:
-        files = [path]
     best = None
-    for fp in files:
+    for fp in _parquet_files(sf_dir, name):
         meta = pq.ParquetFile(fp).metadata
         try:
             ci = [meta.schema.column(i).name for i in
@@ -74,3 +73,10 @@ def parquet_column_max(sf_dir: str, name: str, column: str):
             if best is None or st.max > best:
                 best = st.max
     return best
+
+
+def parquet_total_bytes(sf_dir: str, name: str) -> int:
+    """Sum of the table's file sizes on disk — a cheap second
+    fingerprint dimension (content edits at equal cardinality almost
+    always move compressed sizes)."""
+    return sum(os.path.getsize(fp) for fp in _parquet_files(sf_dir, name))

@@ -150,3 +150,32 @@ def test_tiling_functions_match_hand_table():
         assert crop_ratio_for(w, h) == (wt, ht), (w, h)
         assert num_image_tokens(w, h) == tok, (w, h)
         assert resize_dims(w, h) == (rw, rh), (w, h)
+
+
+def test_oracle_text_assumptions_pinned():
+    """The payload-rebuild oracles assume (in prose) that document
+    text contributes NO characters needing json escaping ('\"', '\\\\',
+    control chars), no HTML-active characters ('<', '>', '&' — the
+    template embeds paragraphs raw, and the extractor model treats
+    them as text), and no non-ASCII beyond the template's own three
+    codepoints.  Pin the assumption on the corpus itself (code review
+    r05: stated only in prose ≠ enforced) — a future testdata change
+    that violates it fails HERE with a named character instead of as a
+    confusing oracle hash mismatch."""
+    import duckdb
+
+    from .conftest import SF_SMALL
+
+    rows = duckdb.sql(
+        f"SELECT text, lang FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall()
+    assert rows
+    for text, lang in rows:
+        for c in text or "":
+            if c in "\t\n\f\r ":
+                continue  # whitespace never reaches a payload verbatim
+            assert 33 <= ord(c) <= 126 and c not in '"\\<>&', (
+                f"text contains {c!r} (U+{ord(c):04X}): json/HTML "
+                "escape assumptions of the payload oracles violated"
+            )
+        assert (lang or "").isascii() and (lang or "").isalpha(), lang

@@ -404,31 +404,59 @@ class TestAnnIndex:
         simsearch.build_ann_index(spark, SF_SMALL, idx)
         meta_path = os.path.join(idx, "_ann_meta.json")
         meta = json.load(open(meta_path))
-        meta["corpus_rows"] = meta["corpus_rows"] + 1
-        json.dump(meta, open(meta_path, "w"))
-        with _pytest.raises(ValueError, match="corpus"):
-            simsearch.lsh_ann_topk_indexed(spark, SF_SMALL, idx)
+        assert set(meta["fingerprint"]) == {"rows", "bytes", "max_vec_id"}
+        # any single dimension moving must trip the check: an equal-
+        # cardinality regenerated corpus moves bytes, an id reshuffle
+        # moves max_vec_id (code review r05 strengthened the row-count-
+        # only fingerprint)
+        for dim in ("rows", "bytes", "max_vec_id"):
+            bad = dict(meta, fingerprint=dict(meta["fingerprint"]))
+            bad["fingerprint"][dim] += 1
+            json.dump(bad, open(meta_path, "w"))
+            with _pytest.raises(ValueError, match="snapshot"):
+                simsearch.lsh_ann_topk_indexed(spark, SF_SMALL, idx)
 
-    def test_indexed_query_bits_use_gemm_code_path(self):
-        """The indexed query's bucket bits must come from the SAME
-        expression shape as lsh_buckets' kernel ((mat @ planes.T) > 0,
-        a gemm) — a gemv can round a near-zero plane dot differently
-        and flip a bit (ADVICE r04).  Pin by construction: for any
-        vector, the 1-row gemm reproduces the kernel's row bits."""
+    def test_indexed_query_bucket_matches_index_row(self, spark, tmp_path):
+        """The driver-side query-bucket computation must agree with the
+        bucket the INDEX itself stored for the query vector — the real
+        end-to-end pin of the one-code-path invariant (ADVICE r04; the
+        first attempt at this test compared the gemm with itself and
+        pinned nothing — code review r05).  Structurally the invariant
+        now holds by construction (_bucket_keys is the single
+        definition); this test catches any future fork of the two call
+        sites."""
+        import json
+        import os
+
         import numpy as np
+        import pyarrow.dataset as pads
 
-        from deepseek_ocr_2_spark.operators.simsearch import _hyperplanes
+        from deepseek_ocr_2_spark.operators import simsearch
 
-        rng = np.random.RandomState(7)
-        planes = _hyperplanes(64, 12)
-        for _ in range(50):
-            v = rng.standard_normal(64)
-            # make one plane dot EXACTLY the hardest case: orthogonal
-            # component only at machine-epsilon scale
-            v = v - planes[0] * (planes[0] @ v) / (planes[0] @ planes[0])
-            kernel_bits = (np.stack([v]) @ planes.T) > 0
-            query_bits = (v[None, :] @ planes.T)[0] > 0
-            assert (kernel_bits[0] == query_bits).all()
+        from .conftest import SF_SMALL
+
+        idx = str(tmp_path / "ann_idx")
+        simsearch.build_ann_index(spark, SF_SMALL, idx)
+        meta = json.load(open(os.path.join(idx, "_ann_meta.json")))
+
+        # the index's stored bucket for the query vector
+        tbl = pads.dataset(idx, format="parquet").to_table(
+            filter=pads.field("vec_id") == simsearch.QUERY_VEC_ID
+        )
+        stored = tbl.column("bucket").to_pylist()
+        assert len(stored) == 1
+
+        # the driver-side recomputation lsh_ann_topk_indexed performs
+        emb = simsearch.load(spark, SF_SMALL, "embeddings")
+        qvec = np.asarray(
+            emb.filter(
+                simsearch.F.col("vec_id") == simsearch.QUERY_VEC_ID
+            ).select("embedding").collect()[0]["embedding"],
+            dtype=np.float64,
+        )
+        planes = simsearch._hyperplanes(len(qvec), meta["n_planes"])
+        qbits = simsearch._bucket_keys(qvec[None, :], planes)[0]
+        assert qbits == stored[0]
 
 
 def test_planted_embeddings_id_collision_guard(spark, tmp_path):
