@@ -179,3 +179,48 @@ def test_oracle_text_assumptions_pinned():
                 "escape assumptions of the payload oracles violated"
             )
         assert (lang or "").isascii() and (lang or "").isalpha(), lang
+
+
+def test_utf8_bytes_expr_matches_python_encode():
+    """The payload oracles' codepoint-to-UTF-8-byte SQL expansion
+    claims independence from WHICH non-ASCII characters the generator
+    emits — pin that generically: for adversarial unicode (2/3/4-byte
+    forms, boundary codepoints U+007F/0080/07FF/0800/FFFF/10000,
+    emoji, CJK), the DuckDB expression must reproduce
+    ``str.encode('utf-8')`` byte-for-byte, and the 16-bin histogram
+    must match numpy's."""
+    import duckdb
+    import numpy as np
+
+    from deepseek_ocr_2_spark.sources.corpus import (
+        _hist_filters,
+        _utf8_bytes_expr,
+    )
+
+    cases = [
+        "",
+        "plain ascii only",
+        "\x7f߿ࠀ￿\U00010000\U0010ffff",
+        "mixed · ｜ ▁ © emoji \U0001f600\U0001f680"
+        " CJK 漢字仮名",
+        "\n\t\x01 control + ascii",
+        "á" * 50 + "b" * 50,
+    ]
+    con = duckdb.connect()
+    for s in cases:
+        got = con.execute(
+            f"SELECT {_utf8_bytes_expr('s')} FROM (SELECT ? AS s)", [s]
+        ).fetchone()[0]
+        assert bytes(got or []) == s.encode("utf-8"), repr(s)
+        hist = con.execute(
+            f"SELECT [{_hist_filters(16)}] FROM (SELECT UNNEST("
+            f"{_utf8_bytes_expr('s')}) AS b FROM (SELECT ? AS s))", [s]
+        ).fetchone()[0]
+        arr = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+        expect, _ = np.histogram(arr, bins=16, range=(0, 256))
+        # an all-empty UNNEST yields no input rows; accept the
+        # aggregate's zero row either way
+        if len(s) == 0:
+            assert hist is None or list(hist) == [0] * 16
+        else:
+            assert list(hist) == list(expect), repr(s)
