@@ -268,3 +268,19 @@ def test_ngram_posting_lists_single_shuffle(spark):
     plan = formatted_plan(grouped)
     tree = plan.split("== Physical Plan ==")[-1].split("\n\n(1)")[0]
     assert tree.count("Exchange") == 1, tree
+
+
+def test_registered_flagship_prunes_doc_json(spark):
+    """The driver-registered flagship drops doc_json AFTER the select
+    — Catalyst must prune the to_json expression entirely (at 100 TB
+    serializing a JSON copy of every document that is then discarded
+    would roughly double the post-kernel bytes for nothing), and the
+    plan core must stay scan -> narrow projection -> ONE salted
+    repartition -> mapInPandas."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod._extraction_flagship_registered(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "to_json" not in plan, plan[:1500]
+    assert plan.count("MapInPandas") == 2  # corpus gen + extract kernel
+    assert "RepartitionByExpression" in plan
