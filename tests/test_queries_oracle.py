@@ -73,3 +73,26 @@ def test_entry_smoke(spark):
         "url", "extracted_text", "n_spans", "lang", "payload_type", "ok",
         "doc_json",
     } == set(df.columns)
+
+
+def test_registry_consistency():
+    """Driver-contract invariants: exactly 50 registered queries (the
+    driver report cap), every oracle key names a registered query, and
+    every oracle string at least PARSES in DuckDB against empty-shaped
+    views — a typo'd oracle should fail here, not as a driver-gate
+    error row."""
+    import duckdb
+
+    assert len(QUERIES) == 50
+    assert set(ORACLES) <= set(QUERIES)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'"
+            " LIMIT 0"
+        )
+    for name, sql in ORACLES.items():
+        try:
+            con.sql(f"EXPLAIN {sql}")
+        except Exception as exc:  # pragma: no cover - diagnostic path
+            raise AssertionError(f"oracle {name} failed to plan: {exc}")
