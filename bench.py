@@ -12,7 +12,7 @@ The headline number times the full extraction stage (read staged corpus
 parquet -> salted repartition -> mapInPandas kernel -> force every
 column) — corpus *generation* is staged to parquet outside the timed
 window, since at 100 TB the input table already exists.  Round 3+: the
-headline is best-of-3 timed runs (all walls recorded in
+headline is best-of-5 timed runs (all walls recorded in
 ``extraction_walls_all``) — the sf0.1 wall is sub-second, so a single
 host-noise burst would otherwise dominate the round's number.
 
@@ -270,7 +270,7 @@ def main() -> None:
         # would otherwise dominate the recorded headline; all walls go
         # on the record
         time_extraction(spark, corpus_path, hot_hosts)
-        timed = [time_extraction(spark, corpus_path, hot_hosts) for _ in range(3)]
+        timed = [time_extraction(spark, corpus_path, hot_hosts) for _ in range(5)]
         wall, docs = min(timed)
 
         queries = {}
