@@ -42,6 +42,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _local_dir() -> str:
+    base = "/dev/shm"
+    if os.path.isdir(base) and os.access(base, os.W_OK):
+        d = os.path.join(base, "spark-bench-shuffle")
+        os.makedirs(d, exist_ok=True)
+        return d
+    return tempfile.gettempdir()
+
+
 def build_session(cpus: int):
     from pyspark.sql import SparkSession
 
@@ -53,6 +62,11 @@ def build_session(cpus: int):
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        # tmpfs shuffle dir when available: the local-mode analog of the
+        # fast local SSDs a real cluster's shuffle service assumes —
+        # A/B-verified knob from the scaling bench (BENCH/BASELINE.md
+        # measurement-config section); falls back to default tmp dirs
+        .config("spark.local.dir", _local_dir())
         .getOrCreate()
     )
 
