@@ -18,7 +18,11 @@ model, and requires the two engines to agree there too:
   single-page total-failure (ok = false, NULL text) and the multi-page
   partial failure (last page dropped, earlier pages kept);
 * a 6-page PDF so ``frame_sample``'s uniform stride actually skips
-  pages (idx = j*6//4 -> 0,1,3,4) instead of taking all of them.
+  pages (idx = j*6//4 -> 0,1,3,4) instead of taking all of them;
+* the text/dedup oracles over the same corpus: empty and single-word
+  documents through token/quality/fingerprint/winnow/lang-id, and the
+  crafted corpus's repeated texts as exact-duplicate pairs through the
+  n-gram/MinHash/SimHash pipelines.
 
 Disagreement here means one side models a boundary wrong — exactly the
 class of bug a hash-green run on benign data cannot see.
@@ -86,6 +90,19 @@ _EDGE_QUERIES = [
     "multimodal_page_metadata",
     "multimodal_payload_features",
     "multimodal_frame_sample",
+    # the text/dedup oracles read only `documents` too — empty and
+    # single-word docs through fingerprinting/minhash/simhash/lang-id,
+    # plus the crafted corpus's repeated texts as exact-dup pairs
+    "token_count",
+    "quality_score",
+    "fingerprint_exact_dedup",
+    "lang_distribution",
+    "lang_id_heuristic",
+    "corpus_curation",
+    "winnow_window_counts",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_dedup",
+    "simhash_near_dups",
 ]
 
 
