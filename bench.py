@@ -13,8 +13,25 @@ parquet -> salted repartition -> mapInPandas kernel -> force every
 column) — corpus *generation* is staged to parquet outside the timed
 window, since at 100 TB the input table already exists.  Round 3+: the
 headline is best-of-5 timed runs (all walls recorded in
-``extraction_walls_all``) — the sf0.1 wall is sub-second, so a single
-host-noise burst would otherwise dominate the round's number.
+``extraction_walls_all``).
+
+METHODOLOGY CHANGE (round 6, VERDICT r05 #1 — steal-proofing): the
+sf0.1 extraction wall was 0.6-0.7 s, so a single hypervisor-steal burst
+moved the recorded headline by double-digit percent (the r05 headline
+"regression" was exactly this).  The timed corpus is now REPLICATED
+(``SPARK_GRAFT_BENCH_TARGET_DOCS``, default 640k docs -> ~5-7 s walls
+at local[32]) so noise bursts amortize, and the job-fixed overhead
+share matches the 100 TB regime where stages run for hours.  Because
+overhead no longer dominates, the r06+ headline is NOT numerically
+comparable to the r03-r05 headline; for continuity the old
+unreplicated-sf0.1 number is still measured and reported as
+``smallcorpus_docs_per_sec``.  Window quality is made visible by a
+Spark-free SINGLE-CORE kernel sentinel measured inside the same bench
+session (``kernel_sentinel_docs_per_sec``, historically ~6.3k docs/s
+on this box) and the normalized ratio
+``normalized_effective_cores = headline / sentinel`` — steal moves the
+raw numbers together but leaves the ratio stable, so a slow window can
+no longer masquerade as a plan regression (or vice versa).
 
 METHODOLOGY CHANGE (round 2): hot-host detection moved out of the timed
 window too (``detect_hot_hosts`` runs once per snapshot, the production
@@ -40,15 +57,26 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# headline corpus size: replicate the sf corpus up to ~this many docs
+# so the timed wall is >=5 s at local[32] (VERDICT r05 #1); capped at
+# x192 replication so tiny SF dirs (sf0.001 smoke runs) stay cheap
+TARGET_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_TARGET_DOCS", "640000"))
+MAX_REPLICATE = 192
+
+# per-run tmpfs shuffle dir (ADVICE r05: a fixed shared path leaked
+# RAM-backed shuffle files across crashed/concurrent runs); created
+# once per process, removed in main()'s cleanup path
+_SHUFFLE_DIR: str | None = None
 
 
 def _local_dir() -> str:
-    base = "/dev/shm"
-    if os.path.isdir(base) and os.access(base, os.W_OK):
-        d = os.path.join(base, "spark-bench-shuffle")
-        os.makedirs(d, exist_ok=True)
-        return d
-    return tempfile.gettempdir()
+    global _SHUFFLE_DIR
+    if _SHUFFLE_DIR is None:
+        base = "/dev/shm"
+        if not (os.path.isdir(base) and os.access(base, os.W_OK)):
+            base = None  # tempfile default
+        _SHUFFLE_DIR = tempfile.mkdtemp(prefix="spark-bench-shuffle-", dir=base)
+    return _SHUFFLE_DIR
 
 
 def build_session(cpus: int):
@@ -87,7 +115,9 @@ def detect_hot_hosts(spark, corpus_path: str, threshold: int = 200) -> tuple:
     return tuple(hot_keys(hosts, "host", threshold))
 
 
-def time_extraction(spark, corpus_path: str, hot_hosts: tuple) -> tuple[float, int]:
+def time_extraction(
+    spark, corpus_path: str, hot_hosts: tuple, num_buckets: int | None = None
+) -> tuple[float, int]:
     """Timed window: read staged corpus -> extract -> force all columns."""
     from pyspark.sql import functions as F
 
@@ -98,7 +128,8 @@ def time_extraction(spark, corpus_path: str, hot_hosts: tuple) -> tuple[float, i
 
     pages = spark.read.parquet(corpus_path)
     cfg = ExtractConfig(
-        num_buckets=max(CPUS * 4, 64), static_hot_hosts=hot_hosts
+        num_buckets=num_buckets or max(CPUS * 4, 64),
+        static_hot_hosts=hot_hosts,
     )
     t0 = time.time()
     res = extract_pages(pages, cfg)
@@ -109,6 +140,87 @@ def time_extraction(spark, corpus_path: str, hot_hosts: tuple) -> tuple[float, i
     ).collect()[0]
     dt = time.time() - t0
     return dt, int(agg["docs"])
+
+
+def stage_replicated_corpus(
+    spark, base_path: str, staging: str
+) -> tuple[str, int]:
+    """Stage the headline timed corpus: the sf corpus replicated (via a
+    single ``explode`` of a replica-index array — one plan node, unlike
+    a K-way union) up to ``TARGET_DOCS`` docs, each replica's urls made
+    distinct.  Staged OUTSIDE the timed window: at 100 TB the input
+    table already exists; replication only sizes the timed wall into
+    the >=5 s regime where the job-fixed-overhead share matches
+    production and host-noise bursts amortize (VERDICT r05 #1)."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(base_path)
+    n = base.count()
+    rep = min(MAX_REPLICATE, max(1, -(-TARGET_DOCS // max(n, 1))))
+    if rep == 1:
+        return base_path, n
+    big_path = os.path.join(staging, "pages_replicated.parquet")
+    big = (
+        base.select(
+            "*",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(rep)])
+            ).alias("_rep"),
+        )
+        .withColumn(
+            "url", F.concat(F.col("url"), F.lit("?rep="), F.col("_rep"))
+        )
+        .drop("_rep")
+    )
+    big.repartition(max(64, CPUS * 2)).write.mode("overwrite").parquet(big_path)
+    return big_path, n * rep
+
+
+def kernel_sentinel(runs: int = 3) -> dict:
+    """Spark-free single-core kernel throughput over the sf corpus —
+    the window-quality reference (VERDICT r05 #1).  The identical
+    extraction kernels run in a plain Python loop on ONE core: no
+    Spark, no shuffle, no Arrow, so its only inputs are the CPU and
+    the hypervisor window.  Historically ~6.3k docs/s on this box
+    (stable r02-r05); ``headline / sentinel`` is the
+    steal-invariant statistic — a noisy window deflates both together
+    while a plan/kernel regression moves only the numerator."""
+    import json as _json
+
+    import duckdb
+
+    from deepseek_ocr_2_spark.functions.assemble import process_page
+    from deepseek_ocr_2_spark.functions.htmlmain import extract_main_content
+    from deepseek_ocr_2_spark.sources import corpus as C
+
+    docs = duckdb.sql(
+        f"select doc_id, text, lang from '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    payloads = [
+        C.render_pdf_payload(d, t or "")
+        if C.is_pdf_doc(d)
+        else C.render_html(d, t or "", l)
+        for d, t, l in docs
+    ]
+    walls = []
+    for _ in range(runs + 1):  # +1 warm-up pass (caches, JIT-free but
+        t0 = time.time()  # page cache + lru_caches warm)
+        n = 0
+        for p in payloads:
+            if p.startswith(C.PDF_MAGIC):
+                doc = _json.loads(p[len(C.PDF_MAGIC):])
+                for i, pg in enumerate(doc["pages"]):
+                    process_page(pg["raw_output"], pg["width"], pg["height"], i)
+            else:
+                extract_main_content(p)
+            n += 1
+        walls.append(time.time() - t0)
+    walls = walls[1:]
+    return {
+        "docs_per_sec": round(n / min(walls), 1),
+        "docs": n,
+        "walls": [round(w, 3) for w in walls],
+    }
 
 
 def bench_partitioned_snapshot(
@@ -279,13 +391,47 @@ def main() -> None:
         build_corpus(spark, SF_DIR).write.mode("overwrite").parquet(corpus_path)
         hot_hosts = detect_hot_hosts(spark, corpus_path)
 
-        # warm-up (JVM/codegen/Arrow), then best-of-3 timed runs: the
-        # sf0.1 extraction wall is <1s, so a single host-noise burst
-        # would otherwise dominate the recorded headline; all walls go
-        # on the record
-        time_extraction(spark, corpus_path, hot_hosts)
-        timed = [time_extraction(spark, corpus_path, hot_hosts) for _ in range(5)]
+        # headline corpus: replicated so the timed wall sits in the
+        # >=5 s regime (VERDICT r05 #1 — a 0.6 s wall let one steal
+        # burst move the headline >10%); at >=100k docs the r04
+        # bucket-granularity lever (1024 buckets = 2-4 task waves)
+        # applies, while the small continuity corpus keeps 1 task/core
+        # (finer tasks HURT at 5k docs — r03 negative result)
+        big_path, big_docs_expected = stage_replicated_corpus(
+            spark, corpus_path, staging
+        )
+        big_buckets = (
+            int(os.environ.get("SPARK_GRAFT_BUCKETS", "1024"))
+            if big_docs_expected >= 100_000
+            else None
+        )
+        hot_big = (
+            detect_hot_hosts(spark, big_path)
+            if big_path != corpus_path
+            else hot_hosts
+        )
+        # warm-ups (JVM/codegen/Arrow/python-worker pool), then
+        # best-of-5 timed runs with every wall on the record
+        for _ in range(2):
+            time_extraction(spark, big_path, hot_big, big_buckets)
+        timed = [
+            time_extraction(spark, big_path, hot_big, big_buckets)
+            for _ in range(5)
+        ]
         wall, docs = min(timed)
+
+        # single-core Spark-free sentinel, measured INSIDE the same
+        # window as the timed runs (the JVM is idle between jobs)
+        sentinel = kernel_sentinel()
+
+        # continuity number: the r03-r05 headline methodology
+        # (unreplicated sf corpus, 1 task/core) for round-over-round
+        # comparability
+        time_extraction(spark, corpus_path, hot_hosts)
+        timed_small = [
+            time_extraction(spark, corpus_path, hot_hosts) for _ in range(3)
+        ]
+        wall_small, docs_small = min(timed_small)
 
         queries = {}
         qs = entry.queries()
@@ -302,7 +448,10 @@ def main() -> None:
             t0 = time.time()
             qs[name](spark, SF_DIR).collect()
             queries[name] = round(time.time() - t0, 3)
-        queries["extraction_sf"] = round(wall, 3)
+        # continuity: "extraction_sf" has meant the UNREPLICATED sf
+        # corpus wall since r03 and keeps that meaning
+        queries["extraction_sf"] = round(wall_small, 3)
+        queries["extraction_replicated"] = round(wall, 3)
 
         extras = {}
         for key, fn, args in (
@@ -322,15 +471,34 @@ def main() -> None:
             sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
         except ValueError:
             sf = -1.0  # non-sf-named dir; never lose the results over it
+        walls_all = [w for w, _ in timed]
         out = {
             "metric": "extracted_docs_per_sec",
             "value": round(docs / wall, 2),
             "unit": "docs/sec",
+            # r06 methodology change — see module docstring: the
+            # headline corpus is replicated so the wall is >=5 s;
+            # NOT numerically comparable to the r03-r05 headline,
+            # whose methodology lives on as smallcorpus_docs_per_sec
+            "methodology": "r06_replicated_corpus",
             "queries": queries,
             "sf": sf,
             "docs": docs,
             "extraction_wall_sec": round(wall, 3),
-            "extraction_walls_all": [round(w, 3) for w, _ in timed],
+            "extraction_walls_all": [round(w, 3) for w in walls_all],
+            "wall_spread_frac": round(
+                (max(walls_all) - min(walls_all)) / min(walls_all), 3
+            ),
+            "smallcorpus_docs_per_sec": round(docs_small / wall_small, 2),
+            "smallcorpus_walls_all": [round(w, 3) for w, _ in timed_small],
+            "kernel_sentinel_docs_per_sec": sentinel["docs_per_sec"],
+            "kernel_sentinel_walls": sentinel["walls"],
+            # steal-invariant statistic: effective parallel speedup of
+            # the full pipeline over the single-core kernel, both
+            # measured in the same window
+            "normalized_effective_cores": round(
+                (docs / wall) / sentinel["docs_per_sec"], 2
+            ),
             "cpus": CPUS,
             **extras,
         }
@@ -357,8 +525,11 @@ def main() -> None:
         compact = {
             k: out[k]
             for k in (
-                "metric", "value", "unit", "queries", "sf", "docs",
-                "extraction_wall_sec", "extraction_walls_all", "cpus",
+                "metric", "value", "unit", "methodology", "queries", "sf",
+                "docs", "extraction_wall_sec", "extraction_walls_all",
+                "wall_spread_frac", "smallcorpus_docs_per_sec",
+                "kernel_sentinel_docs_per_sec",
+                "normalized_effective_cores", "cpus",
             )
         }
         for key in ("partitioned_snapshot", "stream_stream_state"):
@@ -375,7 +546,7 @@ def main() -> None:
                 for k in (
                     "levels", "docs_per_sec", "raw_efficiency",
                     "machine_ceiling_efficiency",
-                    "pipeline_efficiency_vs_ceiling",
+                    "pipeline_efficiency_vs_ceiling", "measured_round",
                 )
                 if k in sc
             }
@@ -393,6 +564,10 @@ def main() -> None:
     finally:
         shutil.rmtree(staging, ignore_errors=True)
         spark.stop()
+        # per-run tmpfs shuffle dir (ADVICE r05): reclaim the
+        # RAM-backed space after the JVM has released its files
+        if _SHUFFLE_DIR:
+            shutil.rmtree(_SHUFFLE_DIR, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -572,9 +572,19 @@ def _bucket_keys(mat: np.ndarray, planes: np.ndarray) -> List[str]:
     """THE bucket-bit computation — one definition shared by the index
     build kernel (``lsh_buckets``) and the driver-side query path
     (``lsh_ann_topk_indexed``), so sign decisions on near-zero plane
-    dot products can never come from two differently-rounding
-    expressions (ADVICE r04; made structural after code review r05
-    showed an expression-shape copy is not a pin)."""
+    dot products never come from two differently-WRITTEN expressions
+    (ADVICE r04; made structural after code review r05 showed an
+    expression-shape copy is not a pin).
+
+    Residual caveat (ADVICE r05): sharing one expression removes the
+    source-level divergence class but BLAS may still dispatch
+    differently-rounding gemm kernels for different operand shapes
+    (a 1-row query matmul vs the n-row build matmul), so the guarantee
+    is shape-dependent, not absolute.  The query path passes
+    ``vec[None, :]`` to keep the call a gemm like the builder's, and
+    the in-session/indexed output-equality test pins the current
+    corpus+planes; a vector whose plane dot product is within one ulp
+    of zero could in principle still flip between shapes."""
     signs = (mat @ planes.T) > 0  # [n, planes]
     return ["".join("1" if s else "0" for s in row) for row in signs]
 
@@ -828,7 +838,25 @@ def lsh_ann_topk_indexed(
             f"library seed is {LSH_SEED}"
         )
     fp = _corpus_fingerprint(sf_dir)
-    if meta.get("fingerprint") != fp:
+    # ADVICE r05: a sidecar WITHOUT a fingerprint (pre-r05 index) and a
+    # None max_vec_id (corpus lacking footer stats — where None == None
+    # would silently weaken the check to rows+bytes) each get their own
+    # explicit error, mirroring the fail-closed planted-id guard,
+    # instead of the misleading generic "different snapshot" message.
+    if "fingerprint" not in meta:
+        raise ValueError(
+            f"index at {index_dir} predates corpus fingerprinting "
+            f"(no 'fingerprint' key in its sidecar) — rebuild the index"
+        )
+    if fp["max_vec_id"] is None or meta["fingerprint"].get("max_vec_id") is None:
+        raise ValueError(
+            f"cannot verify index identity: the embeddings table "
+            f"{'at ' + sf_dir if fp['max_vec_id'] is None else 'the index was built from'} "
+            f"carries no parquet footer statistics for vec_id — "
+            f"fingerprint comparison would silently degrade to "
+            f"rows+bytes; rebuild from a snapshot with statistics"
+        )
+    if meta["fingerprint"] != fp:
         raise ValueError(
             f"index at {index_dir} was built from a different snapshot "
             f"(index fingerprint {meta.get('fingerprint')}, live corpus "

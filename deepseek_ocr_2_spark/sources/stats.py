@@ -55,7 +55,14 @@ def parquet_column_max(sf_dir: str, name: str, column: str):
     per-row-group min/max for free, so the table-wide max is a
     driver-side metadata fold.  Returns ``None`` if NO row group
     carries statistics for the column — callers guarding an invariant
-    must treat None as "cannot prove", not "proved safe"."""
+    must treat None as "cannot prove", not "proved safe".
+
+    INT-ONLY CONTRACT (ADVICE r05): parquet writers may store
+    TRUNCATED min/max for string/binary columns, so a raw-statistics
+    fold over them can silently return a value that is not the table
+    max.  Integer statistics are always exact; this helper therefore
+    refuses non-integer physical types loudly rather than letting a
+    future string-column caller get a wrong answer."""
     import pyarrow.parquet as pq
 
     best = None
@@ -66,6 +73,13 @@ def parquet_column_max(sf_dir: str, name: str, column: str):
                   range(meta.num_columns)].index(column)
         except ValueError:
             continue
+        ptype = meta.schema.column(ci).physical_type
+        if ptype not in ("INT32", "INT64"):
+            raise TypeError(
+                f"parquet_column_max only supports integer columns "
+                f"(exact statistics); {name}.{column} has physical type "
+                f"{ptype}, whose parquet min/max may be truncated"
+            )
         for rg in range(meta.num_row_groups):
             st = meta.row_group(rg).column(ci).statistics
             if st is None or not st.has_min_max:

@@ -416,6 +416,75 @@ class TestAnnIndex:
             with _pytest.raises(ValueError, match="snapshot"):
                 simsearch.lsh_ann_topk_indexed(spark, SF_SMALL, idx)
 
+    def test_index_fingerprint_fail_closed_branches(self, spark, tmp_path):
+        """ADVICE r05: the two silent-degradation cases get their own
+        explicit errors instead of the generic 'different snapshot'
+        message — (a) a pre-fingerprint sidecar, (b) a None max_vec_id
+        (no footer stats), where None == None would quietly weaken the
+        fingerprint to rows+bytes in exactly the case the planted-id
+        guard treats as 'cannot prove'."""
+        import json
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+        import pytest as _pytest
+
+        from deepseek_ocr_2_spark.operators import simsearch
+
+        from .conftest import SF_SMALL
+
+        idx = str(tmp_path / "ann_idx")
+        simsearch.build_ann_index(spark, SF_SMALL, idx)
+        meta_path = os.path.join(idx, "_ann_meta.json")
+        meta = json.load(open(meta_path))
+
+        # (a) sidecar predating fingerprinting
+        old = {k: v for k, v in meta.items() if k != "fingerprint"}
+        json.dump(old, open(meta_path, "w"))
+        with _pytest.raises(ValueError, match="predates"):
+            simsearch.lsh_ann_topk_indexed(spark, SF_SMALL, idx)
+
+        # (b) sidecar whose build-time corpus had no vec_id stats
+        none_fp = dict(meta, fingerprint=dict(meta["fingerprint"], max_vec_id=None))
+        json.dump(none_fp, open(meta_path, "w"))
+        with _pytest.raises(ValueError, match="statistics"):
+            simsearch.lsh_ann_topk_indexed(spark, SF_SMALL, idx)
+        json.dump(meta, open(meta_path, "w"))
+
+        # (b') LIVE corpus without footer statistics: rewrite the
+        # embeddings table with statistics disabled and point the
+        # indexed query at it — must fail closed on 'no statistics',
+        # not fall through to a rows+bytes comparison
+        statless = tmp_path / "statless_sf"
+        statless.mkdir()
+        tbl = pq.read_table(os.path.join(SF_SMALL, "embeddings.parquet"))
+        pq.write_table(
+            tbl,
+            str(statless / "embeddings.parquet"),
+            write_statistics=False,
+        )
+        from deepseek_ocr_2_spark.operators.simsearch import _corpus_fingerprint
+
+        assert _corpus_fingerprint(str(statless))["max_vec_id"] is None
+        with _pytest.raises(ValueError, match="statistics"):
+            simsearch.lsh_ann_topk_indexed(spark, str(statless), idx)
+        shutil.rmtree(statless)
+
+    def test_parquet_column_max_rejects_non_integer_columns(self):
+        """ADVICE r05: string/binary parquet min/max may be truncated
+        by the writer, so the footer fold is only exact for integer
+        physical types — a string-column caller must fail loudly."""
+        import pytest as _pytest
+
+        from deepseek_ocr_2_spark.sources.stats import parquet_column_max
+
+        from .conftest import SF_SMALL
+
+        assert parquet_column_max(SF_SMALL, "embeddings", "vec_id") == 499
+        with _pytest.raises(TypeError, match="physical type"):
+            parquet_column_max(SF_SMALL, "documents", "text")
+
     def test_indexed_query_bucket_matches_index_row(self, spark, tmp_path):
         """The driver-side query-bucket computation must agree with the
         bucket the INDEX itself stored for the query vector — the real

@@ -435,6 +435,12 @@ def main() -> None:
         import shutil
 
         shutil.rmtree(staging, ignore_errors=True)
+        # same hygiene as bench.py (ADVICE r05): a tmpfs shuffle dir
+        # handed to the children via SPARK_GRAFT_LOCAL_DIR holds
+        # RAM-backed files until reboot if left behind
+        ld = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+        if ld and ld.startswith("/dev/shm/"):
+            shutil.rmtree(ld, ignore_errors=True)
 
 
 def _run(staging: str) -> None:
@@ -477,6 +483,11 @@ def _run(staging: str) -> None:
     head = pair_stats[0]
     with open(out, "w", encoding="utf-8") as f:
         f.write(f"""# BENCH/BASELINE — throughput & scaling evidence
+
+Measured in round: **{os.environ.get('SPARK_GRAFT_ROUND', 'unlabeled')}**
+(provenance stamp — VERDICT r05 #2; `BENCH/scaling.json` carries the
+same `measured_round` field, which `bench.py` forwards into each
+round's `BENCH_r{{N}}.json` so carried numbers can never read as fresh).
 
 Headline metric (BASELINE.json): **extracted docs/sec with
 byte-identical text per url** on the deterministic synthetic
@@ -537,6 +548,13 @@ multi-executor cluster unchanged.
             {
                 # top-level fields = the headline (north-rule) pair
                 "levels": list(head["levels"]),
+                # measurement provenance (VERDICT r05 #2: bench.py
+                # re-emits this file every round, so without a stamp a
+                # carried measurement silently reads as fresh evidence)
+                "measured_round": os.environ.get(
+                    "SPARK_GRAFT_ROUND", "unlabeled"
+                ),
+                "measured_at_unix": int(__import__("time").time()),
                 "docs": n_docs,
                 # measurement-config provenance: the bench child's
                 # effective knobs, so a number is never divorced from
