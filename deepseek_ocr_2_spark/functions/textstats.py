@@ -142,28 +142,49 @@ def _hash32(value: str) -> int:
     return int.from_bytes(hashlib.md5(value.encode("utf-8")).digest()[:4], "big")
 
 
+# MinHash permutation-family modulus: the Mersenne prime 2^31 - 1.
+# The modulus must sit JUST ABOVE the hashed-shingle universe for
+# (a*x + b) mod p to behave like a random permutation.  The original
+# choice of 2^61 - 1 over 32-bit x was a real statistical bug found by
+# the round-6 seeded oracle fuzz (seed 505): with a < 2^31 the product
+# a*x < 2^63 wraps the modulus at most 3 times — and for ~25% of the
+# drawn a it never wraps at all, making the map MONOTONE in x.  Every
+# such "permutation" selects the document's globally smallest shingle
+# hash, so the whole signature was dominated by one shingle: a
+# one-word edit near that shingle collapsed measured agreement to
+# 0.15 at true Jaccard 0.875, and the banded LSH silently degenerated
+# into an exact-duplicate detector (it only looked correct on corpora
+# whose planted near-dups sat at J≈0.99).  Reducing x into Z_p first
+# makes a*x < 2^62 (exact in uint64) and guarantees heavy wrapping.
+_MINHASH_P = (1 << 31) - 1
+# empty-doc sentinel: one value >= p (unreachable — all real mins are
+# mod p), so empty docs never band-collide with real content
 _MERSENNE = (1 << 61) - 1
 
 
 @lru_cache(maxsize=16)
 def _perm_params(num_perm: int, seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
-    """(a, b) with a,b < 2^31 so a*x+b < 2^63 for 32-bit x — the whole
-    (a*x+b) mod p computation stays exact inside uint64.  Cached: a
-    pure function of (num_perm, seed) called once per document in the
-    signature hot loop."""
+    """(a, b) with a in [1, p-1], b in [0, p-1] for p = 2^31 - 1: a
+    proper universal family over Z_p whose product a*x stays < 2^62 —
+    exact inside uint64.  Cached: a pure function of (num_perm, seed)
+    called once per document in the signature hot loop."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, 1 << 31, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, 1 << 31, size=num_perm, dtype=np.uint64)
+    a = rng.randint(1, _MINHASH_P, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MINHASH_P, size=num_perm, dtype=np.uint64)
     return a, b
 
 
 def minhash_signature(tokens: Sequence[str], num_perm: int = 128, k: int = 3, seed: int = 42) -> List[int]:
-    """MinHash signature over word k-shingles, (a*x+b) mod p family.
+    """MinHash signature over word k-shingles, (a*x+b) mod p family
+    with p = 2^31 - 1 (see the _MINHASH_P note for why the modulus
+    must hug the universe — the earlier 2^61-1 variant was a
+    degenerate family).
 
-    Shingles hash to 32 bits; with a,b < 2^31 the affine map never
-    overflows uint64, so the min over each permutation row is one exact
-    vectorized numpy reduction (the Python-loop version was the hot spot
-    of the LSH dedup stage at bench scale).
+    Shingles hash to 32 bits and are reduced into Z_p; the affine map
+    then wraps the modulus ~2^30 times, so the min over each
+    permutation row is an honest min-wise sample and one exact
+    vectorized numpy reduction (the Python-loop version was the hot
+    spot of the LSH dedup stage at bench scale).
 
     Empty docs get the all-max sentinel so they never collide with real
     content.
@@ -172,8 +193,10 @@ def minhash_signature(tokens: Sequence[str], num_perm: int = 128, k: int = 3, se
     a, b = _perm_params(num_perm, seed)
     if not shs:
         return [int(_MERSENNE)] * num_perm
-    x = np.array([_hash32(s) for s in shs], dtype=np.uint64)
-    vals = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    x = np.array([_hash32(s) for s in shs], dtype=np.uint64) % np.uint64(
+        _MINHASH_P
+    )
+    vals = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MINHASH_P)
     return [int(v) for v in vals.min(axis=1)]
 
 

@@ -101,6 +101,48 @@ class TestMinHash:
         sig = minhash_signature([])
         assert len(set(sig)) == 1
 
+    def test_agreement_tracks_jaccard_unbiased(self):
+        """Signature agreement must be an UNBIASED Jaccard estimator
+        (binomial with p = J over num_perm trials).  Regression for the
+        round-6 fuzz find (seed 505): the old (a*x+b) mod 2^61-1 family
+        over 32-bit x was monotone for ~25% of the drawn a, so the
+        whole signature was dominated by each document's single
+        smallest shingle hash — a one-word edit near that shingle
+        collapsed agreement to 0.15 at true J = 0.875, and banded LSH
+        degenerated into an exact-dup detector.  Tolerance 0.12 is ~4
+        binomial sigmas at 128 perms; the broken family missed by 0.7."""
+        import random as _random
+
+        rng = _random.Random(7)
+        for trial in range(4):
+            n_shared = rng.randint(25, 60)
+            n_only = rng.randint(2, 8)
+            shared = [f"s{trial}w{i} a{i} b{i}" for i in range(n_shared)]
+            a_doc = shared + [f"ua{trial}x{i} y{i} z{i}" for i in range(n_only)]
+            b_doc = shared + [f"ub{trial}x{i} y{i} z{i}" for i in range(n_only)]
+            jac = n_shared / (n_shared + 2 * n_only)
+            # drive through the public API: fabricate token streams
+            # whose 3-shingles are exactly these sets is awkward, so
+            # sample the family directly at the signature layer
+            from deepseek_ocr_2_spark.functions.textstats import (
+                _MINHASH_P,
+                _hash32,
+                _perm_params,
+            )
+            import numpy as np
+
+            def sig(shs):
+                a, b = _perm_params(128, 42)
+                x = np.array(
+                    [_hash32(s) for s in shs], dtype=np.uint64
+                ) % np.uint64(_MINHASH_P)
+                v = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(
+                    _MINHASH_P
+                )
+                return v.min(axis=1)
+            agree = float(np.mean(sig(a_doc) == sig(b_doc)))
+            assert abs(agree - jac) < 0.12, (trial, jac, agree)
+
 
 class TestSimHash:
     def test_similar_docs_close(self):
