@@ -143,6 +143,52 @@ def _near_dup(rng: random.Random, text: str) -> str:
     return " ".join(words)
 
 
+def gen_embeddings(seed: int):
+    """Random embeddings table with adversarial plants for the
+    similarity oracles: exact duplicates (identical rows — rank ties
+    at cosine 1.0 probe the top-k tie-break), scaled copies (*2 is
+    exact in float32, cosine exactly 1.0 at a different norm),
+    near-parallel vectors (cosine ~0.99), and mixed vectors aimed near
+    the 0.35 near-dup threshold.  vec_id 0 (QUERY_VEC_ID) always
+    exists; all ids stay far below the t=0.9 plant offsets."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n = 60
+    dim = 64
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    ids = [0] + sorted(rng.choice(np.arange(1, 9999), n - 1, replace=False).tolist())
+    vecs = [base[i] for i in range(n)]
+    extra_id = 20000
+    plants = []
+    q = vecs[0]
+    plants.append(vecs[3].copy())                    # exact duplicate
+    plants.append((vecs[4] * np.float32(2.0)))       # scaled copy, cos=1
+    plants.append(
+        (vecs[5] + rng.standard_normal(dim).astype(np.float32) * np.float32(0.05))
+    )                                                # near-parallel
+    # aimed near the 0.35 threshold vs the QUERY vector: unit mix
+    u = q / np.linalg.norm(q)
+    r = rng.standard_normal(dim).astype(np.float32)
+    r -= (r @ u) * u
+    r /= np.linalg.norm(r)
+    for t in (0.33, 0.36):
+        plants.append((u * np.float32(t) + r * np.float32((1 - t * t) ** 0.5)))
+    for j, v in enumerate(plants):
+        ids.append(extra_id + j)
+        vecs.append(v.astype(np.float32))
+    labels = rng.randint(0, 10, size=len(ids)).tolist()
+    return ids, [v.tolist() for v in vecs], labels
+
+
+_EMB_QUERIES = [
+    "cosine_topk",
+    "knn_self_join",
+    "embedding_near_dup_lsh",
+    "embedding_near_dup_lsh_scale",
+]
+
+
 def gen_corpus(seed: int) -> list:
     rng = random.Random(seed)
     n = rng.randint(35, 55)
@@ -174,16 +220,26 @@ def fuzz_dir(request, tmp_path_factory):
         }
     )
     pq.write_table(tbl, str(d / "documents.parquet"))
+    ids, vecs, labels = gen_embeddings(request.param)
+    etbl = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            "label": pa.array(labels, type=pa.int32()),
+        }
+    )
+    pq.write_table(etbl, str(d / "embeddings.parquet"))
     return str(d)
 
 
 @pytest.fixture(scope="module")
 def fuzz_duck(fuzz_dir):
     con = duckdb.connect()
-    con.sql(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"'{fuzz_dir}/documents.parquet'"
-    )
+    for table in ("documents", "embeddings"):
+        con.sql(
+            f"CREATE VIEW {table} AS SELECT * FROM "
+            f"'{fuzz_dir}/{table}.parquet'"
+        )
     yield con
     con.close()
 
@@ -212,7 +268,7 @@ def test_generator_covers_the_claimed_dimensions():
                 ), repr(c)
 
 
-@pytest.mark.parametrize("name", _EDGE_QUERIES)
+@pytest.mark.parametrize("name", _EDGE_QUERIES + _EMB_QUERIES)
 def test_oracle_agrees_on_fuzz_corpus(spark, fuzz_dir, fuzz_duck, name):
     spdf = entrymod.queries()[name](spark, fuzz_dir).toPandas()
     opdf = fuzz_duck.sql(entrymod.oracle_sql()[name]).df()
