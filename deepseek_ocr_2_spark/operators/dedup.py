@@ -262,6 +262,13 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by ``tests/test_dedup_simsearch.py`` — so the all-pairs
     exact SQL (``minhash_lsh_oracle``) is a true oracle for it, the
     same licensing move as ``embedding_near_dup_lsh``.
+
+    NOTE: the 1-(1-J^rows)^bands collision model only holds because
+    ``minhash_signature`` is a genuine min-wise family — the round-6
+    seeded fuzz (seed 505) caught a degenerate modulus choice that
+    invalidated exactly this claim at J<~0.95 (see the _MINHASH_P note
+    in ``functions/textstats.py``); ``test_oracle_fuzz`` and the
+    unbiasedness property test now guard it.
     """
     from .cachereg import persist_tracked
 
