@@ -204,6 +204,22 @@ def gen_corpus(seed: int) -> list:
             docs.append((ids[k + j], src[1]))
         else:
             docs.append((ids[k + j], _near_dup(rng, src[1])))
+    # top-ups: the probabilistic branches leave a small per-seed chance
+    # (~1% for the multi-page shape) of missing a claimed dimension, so
+    # GUARANTEE them by construction — otherwise a deep
+    # SPARK_GRAFT_FUZZ_SEEDS sweep false-alarms on the generator
+    # self-check for an unlucky seed (seed 717 drew no >450-word doc)
+    spare = ids[k + 4:]
+    texts_now = [t for _, t in docs]
+    if not any(len((t or "").split()) > 450 for t in texts_now):
+        docs.append(
+            (spare.pop(), _join(rng, [_word(rng) for _ in range(500)]))
+        )
+    if not (
+        any(t == "" for t in texts_now)
+        or any(len(t.split()) == 1 for t in texts_now)
+    ):
+        docs.append((spare.pop(), ""))
     langs = ["en", "de", "fr", "es", "it", "nl"]
     return [(d, t, rng.choice(langs)) for d, t in docs]
 
