@@ -33,6 +33,15 @@ on this box) and the normalized ratio
 raw numbers together but leaves the ratio stable, so a slow window can
 no longer masquerade as a plan regression (or vice versa).
 
+CAPTURE ADOPTION RULE (round 6): when several bench sessions are
+captured in one round, commit the one with the LOWEST
+``wall_spread_frac`` among sessions whose sentinel is healthy
+(>= ~7k docs/s on this box).  Do NOT pick the highest headline: the
+r06 sweep showed capability captures (90-100k docs/s) ride windows
+whose own spread (>12%) or steal-depressed sentinel disqualifies them
+as evidence, while the tight-spread capture is reproducible.  Record
+every sweep capture's numbers in the round notes either way.
+
 METHODOLOGY CHANGE (round 2): hot-host detection moved out of the timed
 window too (``detect_hot_hosts`` runs once per snapshot, the production
 statistics pattern), so round-2+ headline numbers are NOT directly
