@@ -50,9 +50,30 @@ NUM_PERM = 128
 # exact-Jaccard verify prunes the extra candidates.
 BANDS = 32
 SHINGLE_K = 3
-# Shingles appearing in more than this many docs are boilerplate;
-# excluded from the exact pair join to cap fan-out (both engines).
+# Shingles appearing in more than max(MAX_SHINGLE_DF, SHINGLE_DF_FRAC
+# of the corpus) docs are boilerplate; excluded from the exact pair
+# join to cap fan-out (both engines).  The cap must be RELATIVE above
+# the floor: document frequency grows linearly with corpus size, so a
+# fixed absolute cap silently empties the candidate set as the corpus
+# grows — the round-6 sf1 probe (50k docs, every doc x10 replicas: a
+# duplicate-heavy web corpus, the dedup target workload) returned 0
+# pairs under the absolute cap where MinHash found 250,600, because
+# every replica-inflated posting list blew past 50.  With the relative
+# term the cap tracks what "boilerplate" means at any scale; below
+# 5,000 docs (all CI gates, the crafted corpus, the fuzz corpora) it
+# is byte-identical to the old constant.
 MAX_SHINGLE_DF = 50
+SHINGLE_DF_FRAC = 0.01
+
+
+def shingle_df_cap(n_docs: int) -> int:
+    """Boilerplate document-frequency cap for a corpus of ``n_docs``.
+
+    ``max(MAX_SHINGLE_DF, floor(n_docs * SHINGLE_DF_FRAC))`` — the SQL
+    oracle computes the identical expression via GREATEST over a
+    COUNT(*) scalar subquery, so both engines scale the cap together.
+    """
+    return max(MAX_SHINGLE_DF, int(n_docs * SHINGLE_DF_FRAC))
 
 
 def _shingled(docs: DataFrame, distinct: bool = True) -> DataFrame:
@@ -93,11 +114,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     input.  (The naive counts/df-filter/self-join formulation scanned
     and re-shingled the corpus six times — Catalyst does not reuse
     uncached subtrees across different shuffle keys.)  Pairs come from
-    exploding C(k,2) combinations inside each <=MAX_SHINGLE_DF posting
-    list — the standard inverted-index formulation.
+    exploding C(k,2) combinations inside each <=shingle_df_cap posting
+    list — the standard inverted-index formulation.  The cap is sized
+    from the parquet footer row count (never a count() job at plan
+    build) so it stays RELATIVE to the corpus; see the
+    MAX_SHINGLE_DF/SHINGLE_DF_FRAC note for the sf1-probe failure mode
+    of an absolute cap.
     """
+    from ..sources.stats import parquet_row_count
     from .cachereg import persist_tracked
 
+    df_cap = shingle_df_cap(parquet_row_count(sf_dir, "documents"))
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     # distinct=False + collect_set: per-(doc, shingle) dedup happens
     # INSIDE the posting-list aggregation, so the corpus shuffles once
@@ -120,7 +147,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         grouped.filter(
-            (F.size("ds") >= 2) & (F.size("ds") <= MAX_SHINGLE_DF)
+            (F.size("ds") >= 2) & (F.size("ds") <= df_cap)
         )
         .select(
             F.explode(
@@ -171,7 +198,9 @@ def ngram_jaccard_oracle() -> str:
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), rare AS (
       SELECT * FROM sh WHERE shingle IN (
-        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF})
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) <= GREATEST({MAX_SHINGLE_DF}, CAST(floor(
+          (SELECT COUNT(*) FROM documents) * {SHINGLE_DF_FRAC}) AS BIGINT)))
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
       FROM rare a JOIN rare b

@@ -552,3 +552,69 @@ def test_planted_embeddings_id_collision_guard(spark, tmp_path):
     pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
     with _pytest.raises(RuntimeError, match="PLANT_COPY_OFFSET"):
         simsearch.planted_embeddings(spark, str(tmp_path))
+
+
+def test_shingle_df_cap_is_relative_above_the_floor():
+    """The boilerplate cap must track corpus size: a fixed absolute cap
+    empties the candidate set on duplicate-heavy corpora (round-6 sf1
+    probe: 0 pairs at 50k docs where MinHash found 250,600)."""
+    assert dedup.shingle_df_cap(0) == dedup.MAX_SHINGLE_DF
+    assert dedup.shingle_df_cap(500) == dedup.MAX_SHINGLE_DF
+    assert dedup.shingle_df_cap(5_000) == dedup.MAX_SHINGLE_DF
+    assert dedup.shingle_df_cap(5_100) == 51
+    assert dedup.shingle_df_cap(50_000) == 500
+    assert dedup.shingle_df_cap(10_000_000) == 100_000
+
+
+def test_relative_cap_keeps_engines_agreeing_and_finds_dups(
+    spark, tmp_path, monkeypatch
+):
+    """Differential check with the RELATIVE term active (impossible at
+    CI corpus sizes with production constants, so the floor/fraction
+    are monkeypatched): 10 groups x 3 exact replicas.  With floor=2
+    every replica shingle (df=3) would be dropped -> 0 pairs; the
+    relative term lifts the cap to max(2, 30*0.1)=3, the replicas are
+    found, and Spark must still agree with the oracle SQL (whose
+    GREATEST/COUNT(*) scalar subquery replays the same arithmetic)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    for g in range(10):
+        words = " ".join(f"g{g}word{j}" for j in range(12))
+        for r in range(3):
+            rows.append((g * 10 + r, words))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows], type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    monkeypatch.setattr(dedup, "MAX_SHINGLE_DF", 2)
+    monkeypatch.setattr(dedup, "SHINGLE_DF_FRAC", 0.1)
+    assert dedup.shingle_df_cap(len(rows)) == 3
+
+    spdf = dedup.ngram_jaccard_pairs(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    opdf = con.sql(dedup.ngram_jaccard_oracle()).df()
+    con.close()
+
+    spark_pairs = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 6))
+        for r in spdf.itertuples()
+    }
+    oracle_pairs = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 6))
+        for r in opdf.itertuples()
+    }
+    # 3 replica pairs per group, Jaccard exactly 1.0
+    assert len(spark_pairs) == 30
+    assert all(j == 1.0 for _, _, j in spark_pairs)
+    assert spark_pairs == oracle_pairs

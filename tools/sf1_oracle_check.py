@@ -15,6 +15,12 @@ This is an offline probe, not CI: run `python tools/sf1_oracle_check.py`
 and record the outcome in COVERAGE.md.  Env:
   SF1_REPLICATE   replication factor over sf0.1 (default 10 -> 50k docs)
   SF1_QUERIES     comma list (default the two recursive-CTE oracles)
+  SF1_SPARK_ONLY  "1" -> skip the DuckDB side and record Spark walls +
+                  row counts only (for queries whose oracle is an
+                  all-pairs computation that cannot run at 50k docs —
+                  the dedup set; their CORRECTNESS evidence lives at
+                  sf0.01/sf0.1 + the fuzz corpora, this probe is the
+                  SCALE evidence for the Spark plan)
 """
 
 from __future__ import annotations
@@ -83,11 +89,16 @@ def main() -> None:
         )
         spark.sparkContext.setLogLevel("ERROR")
 
+        spark_only = os.environ.get("SF1_SPARK_ONLY") == "1"
         for name in QUERIES:
             entryres = {}
             t0 = time.time()
             spdf = entry.queries()[name](spark, staging).toPandas()
             entryres["spark_sec"] = round(time.time() - t0, 1)
+            if spark_only:
+                entryres["rows"] = [len(spdf)]
+                results[name] = entryres
+                continue
             t0 = time.time()
             try:
                 opdf = con.sql(entry.oracle_sql()[name]).df()
