@@ -72,11 +72,28 @@ def main() -> None:
             ) TO '{docs_out}' (FORMAT PARQUET)
             """
         )
+        # embeddings too (same replication, vec_id offset per replica;
+        # r=0 keeps the originals so QUERY_VEC_ID=0 still exists and
+        # all ids stay far below the PLANT_COPY_OFFSET guard) so the
+        # similarity queries can run against the staged dir
+        emb_out = os.path.join(staging, "embeddings.parquet")
+        con_stage = duckdb.connect()
+        con_stage.sql(
+            f"""
+            COPY (
+              SELECT vec_id + 100000 * r AS vec_id, embedding, label
+              FROM '{SRC}/embeddings.parquet',
+                   (SELECT UNNEST(generate_series(0, {REPLICATE - 1})) AS r)
+            ) TO '{emb_out}' (FORMAT PARQUET)
+            """
+        )
+        con_stage.close()
         results["stage_sec"] = round(time.time() - t0, 1)
         n = con.sql(f"SELECT count(*) FROM '{docs_out}'").fetchone()[0]
         results["docs"] = int(n)
 
         con.sql(f"CREATE VIEW documents AS SELECT * FROM '{docs_out}'")
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{emb_out}'")
 
         from pyspark.sql import SparkSession
 
