@@ -178,7 +178,9 @@ class _BlockBuilder:
 
     def start(self, tag: str, attr_text: str) -> None:
         skip = tag in SKIP_TAGS
-        boiler = self._is_boiler(attr_text)
+        # short-circuit the (lru-cached) attr classifier for attr-less
+        # tags — the common case — before paying the call + cache probe
+        boiler = bool(attr_text) and self._is_boiler(attr_text)
         self._tag_stack.append((tag, skip, boiler))
         if skip:
             self._skip_depth += 1
@@ -192,14 +194,27 @@ class _BlockBuilder:
     def end(self, tag: str) -> None:
         # Pop the nearest matching open tag (tolerates unclosed tags).
         stack = self._tag_stack
-        if stack and stack[-1][0] == tag:
-            match = len(stack) - 1  # well-formed fast path: no scan
-        else:
-            match = -1
-            for i in range(len(stack) - 2, -1, -1):
-                if stack[i][0] == tag:
-                    match = i
-                    break
+        if stack:
+            t, s, b = stack[-1]
+            if t == tag:
+                # well-formed fast path (the overwhelming majority of
+                # end tags): single pop, no scan, no range loop — same
+                # bookkeeping as the generic path below
+                stack.pop()
+                if s:
+                    self._skip_depth -= 1
+                if b:
+                    self._boiler_depth -= 1
+                if t == "a":
+                    self._link_depth -= 1
+                if tag in BLOCK_TAGS:
+                    self._flush()
+                return
+        match = -1
+        for i in range(len(stack) - 2, -1, -1):
+            if stack[i][0] == tag:
+                match = i
+                break
         if match >= 0:
             # everything above the match is implicitly closed — ONE
             # copy of the depth bookkeeping for both paths
@@ -238,6 +253,9 @@ def parse_blocks(html_text: str) -> List[Block]:
         n = len(html_text)
         search = _TOKEN_RE.search  # bound-method locals: the loop runs
         bdata = b.data             # once per token, lookups add up
+        bend = b.end
+        bstart = b.start
+        bstartend = b.startend
         while pos < n:
             m = search(html_text, pos)
             if m is None:
@@ -252,27 +270,28 @@ def parse_blocks(html_text: str) -> List[Block]:
             closing, tag, attr_text, selfclose = m.group(1, 2, 3, 4)
             if tag is None:
                 continue  # comment / declaration / PI
-            tag = tag.lower()
+            if not tag.islower():  # real-world tags are already lower
+                tag = tag.lower()
             if closing:  # </tag>
-                b.end(tag)
+                bend(tag)
             else:
                 attr_text = attr_text or ""
                 if selfclose:  # <tag/>
-                    b.startend(tag)
+                    bstartend(tag)
                 elif tag in _RAWTEXT:
                     # consume raw content up to the matching close tag
-                    b.start(tag, attr_text)
+                    bstart(tag, attr_text)
                     c = _RAWTEXT_CLOSE[tag].search(html_text, pos)
                     if c is None:
-                        b.data(html_text[pos:])
+                        bdata(html_text[pos:])
                         pos = n
                     else:
-                        b.data(html_text[pos:c.start()])
+                        bdata(html_text[pos:c.start()])
                         pos = html_text.find(">", c.start())
                         pos = n if pos == -1 else pos + 1
-                        b.end(tag)
+                        bend(tag)
                 else:
-                    b.start(tag, attr_text)
+                    bstart(tag, attr_text)
         b._flush()
     except Exception:
         # total determinism beats perfection: return whatever flushed

@@ -95,36 +95,87 @@ def fingerprint(text: str) -> str:
     return hashlib.md5(normalized.encode("utf-8")).hexdigest()
 
 
+def _mersenne61_fold(v: np.ndarray) -> np.ndarray:
+    """Reduce uint64 values (< 2^63) towards mod 2^61-1: one fold step."""
+    return (v & np.uint64((1 << 61) - 1)) + (v >> np.uint64(61))
+
+
 def rolling_hashes(text: str, window: int = 64, base: int = 257, mod: int = (1 << 61) - 1) -> List[int]:
-    """Karp-Rabin rolling hashes over character windows (winnowing input)."""
+    """Karp-Rabin rolling hashes over character windows (winnowing input).
+
+    Adaptive (round 7): for LONG texts the per-char Python recurrence
+    is replaced by the closed correlation form
+    h_i = Σ_j c_{i+j}·base^{w-1-j} mod p — ``window`` numpy passes over
+    the codepoint array.  That form does ``window``× more arithmetic
+    than the O(n) recurrence, so it only wins where numpy's per-element
+    throughput amortizes its per-op overhead: measured crossover on
+    this box is ~2k windows (at 300-char docs the numpy form is 7×
+    SLOWER; at 10k+ chars it is ~4× faster), hence the threshold below.
+    Exact mod-p arithmetic in uint64: each power splits into
+    (hi·2^32 + lo); c·hi < 2^50 < p so multiplying it by 2^32 mod p is
+    the Mersenne rotate-left-32, and c·lo < 2^53 adds without overflow;
+    accumulators fold each step.  Values are identical to the
+    recurrence (both compute the canonical representative in [0, p));
+    pinned by the differential suite over the sf corpus + adversarial
+    codepoints.  Generic ``mod``/``base`` overrides take the loop.
+    """
     n = len(text)
     if n < window:
         return []
-    out: List[int] = []
-    h = 0
-    power = pow(base, window - 1, mod)
-    for i, c in enumerate(text):
-        h = (h * base + ord(c)) % mod
-        if i >= window:
-            h = (h - ord(text[i - window]) * power * base) % mod
-        if i >= window - 1:
-            out.append(h)
-    return out
+    if (
+        n - window + 1 < 2048
+        or mod != (1 << 61) - 1
+        or not 2 <= base < (1 << 21)
+    ):
+        out: List[int] = []
+        h = 0
+        power = pow(base, window - 1, mod)
+        for i, c in enumerate(text):
+            h = (h * base + ord(c)) % mod
+            if i >= window:
+                h = (h - ord(text[i - window]) * power * base) % mod
+            if i >= window - 1:
+                out.append(h)
+        return out
+    p = np.uint64(mod)
+    # ord() per char == UTF-32 codepoints (always < 2^21)
+    c = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    )
+    nw = n - window + 1
+    acc = np.zeros(nw, dtype=np.uint64)
+    u32, u29, u61 = np.uint64(32), np.uint64(29), np.uint64(61)
+    mask29 = np.uint64((1 << 29) - 1)
+    for j in range(window):
+        pw = pow(base, window - 1 - j, mod)
+        hi, lo = np.uint64(pw >> 32), np.uint64(pw & 0xFFFFFFFF)
+        cj = c[j : j + nw]
+        t1 = cj * hi                      # < 2^21 * 2^29 = 2^50 < p
+        # t1 * 2^32 mod p == rotate-left-32 within 61 bits (t1 < p)
+        t1 = ((t1 & mask29) << u32) | (t1 >> u29)   # < 2^61 + 2^32
+        acc += t1 + cj * lo               # term < 2^62; acc < 2^63
+        acc = _mersenne61_fold(acc)       # back under 2^61 + eps
+    acc = _mersenne61_fold(acc)
+    acc = np.where(acc >= p, acc - p, acc)
+    return [int(v) for v in acc]
 
 
 def winnow(hashes: Sequence[int], w: int = 16) -> List[int]:
-    """Winnowing (Schleimer et al. 2003): min hash per window, deduped."""
+    """Winnowing (Schleimer et al. 2003): min hash per window, deduped.
+
+    Vectorized (round 7): ``sliding_window_view(...).min(axis=1)`` plus
+    a consecutive-dedup mask — same windows, same mins, same dedup rule
+    as the per-window Python loop it replaces."""
     if not hashes:
         return []
-    out: List[int] = []
-    last = None
-    for i in range(max(1, len(hashes) - w + 1)):
-        window = hashes[i : i + w]
-        m = min(window)
-        if m != last:
-            out.append(m)
-            last = m
-    return out
+    arr = np.asarray(hashes, dtype=np.uint64)
+    if len(arr) <= w:
+        return [int(arr.min())]
+    mins = np.lib.stride_tricks.sliding_window_view(arr, w).min(axis=1)
+    keep = np.empty(len(mins), dtype=bool)
+    keep[0] = True
+    np.not_equal(mins[1:], mins[:-1], out=keep[1:])
+    return [int(v) for v in mins[keep]]
 
 
 def shingles(tokens: Sequence[str], k: int = 3) -> List[str]:
@@ -211,20 +262,41 @@ def minhash_bands(signature: Sequence[int], bands: int = 16) -> List[str]:
     return keys
 
 
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+_BIT_VALUES = (np.uint64(1) << _BIT_SHIFTS)
+
+
 def simhash(tokens: Sequence[str]) -> int:
-    """64-bit SimHash over unigram features (md5-based, deterministic)."""
+    """64-bit SimHash over unigram features (md5-based, deterministic).
+
+    Vectorized (round 7): the per-token per-bit ±1 accumulation is an
+    integer sum, so it is order-independent and collapses to one
+    weighted numpy reduction over the UNIQUE tokens (natural text
+    repeats words heavily, so dedup also cuts the md5 count).  The
+    round-6 formulation looped 64 Python iterations per token
+    occurrence; the accumulator values and the sign rule are unchanged,
+    so the signature is bit-identical.
+    """
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
+    counts: Dict[str, int] = {}
     for tok in tokens:
-        h = _hash64(tok)
-        for bit in range(64):
-            acc[bit] += 1 if (h >> bit) & 1 else -1
-    out = 0
-    for bit in range(64):
-        if acc[bit] > 0:
-            out |= 1 << bit
-    return out
+        counts[tok] = counts.get(tok, 0) + 1
+    h = np.fromiter(
+        (_hash64(t) for t in counts), dtype=np.uint64, count=len(counts)
+    )
+    w = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    # bits: (chunk, 64) 0/1; acc[bit] = sum(w * (2*bit - 1)) — exact
+    # int64 arithmetic, identical to the per-occurrence ±1 loop.
+    # Chunked so the (n, 64) temporary stays bounded on huge documents.
+    acc = np.zeros(64, dtype=np.int64)
+    for lo in range(0, len(h), 65536):
+        hc, wc = h[lo : lo + 65536], w[lo : lo + 65536]
+        bits = ((hc[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        acc += ((2 * bits - 1) * wc[:, None]).sum(axis=0)
+    return int(_BIT_VALUES[acc > 0].sum(dtype=np.uint64))
 
 
 def hamming64(a: int, b: int) -> int:

@@ -86,7 +86,18 @@ def _shingled(docs: DataFrame, distinct: bool = True) -> DataFrame:
 
     ``distinct=False`` skips the dedup exchange for callers that dedup
     inside their own aggregation anyway (``collect_set`` in
-    ``ngram_jaccard_pairs``) — one shuffle instead of two."""
+    ``ngram_jaccard_pairs``) — one shuffle instead of two.
+
+    ``explode_outer``, deliberately (round 7): for plain ``explode``
+    Spark's InferFiltersFromGenerate adds ``size(g) > 0 AND
+    isnotnull(g)`` below the Generate, and filter pushdown then INLINES
+    the whole shingle ``transform`` — with the tokenizer regex
+    re-expanded per element access — into a Filter evaluated per input
+    row at the scan (measured: the inferred filter alone was ~10x the
+    cost of the real shingling at bench scale).  The filter guards
+    against empty/null generator arrays, which cannot occur here (every
+    ``size(t) >= 3`` doc yields >= 1 shingle), so the outer variant is
+    row-identical and skips the inference."""
     toks = docs.select(
         "doc_id",
         F.regexp_extract_all(
@@ -95,7 +106,7 @@ def _shingled(docs: DataFrame, distinct: bool = True) -> DataFrame:
     )
     out = toks.filter(F.size("t") >= 3).select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.expr(
                 "transform(sequence(0, size(t)-3),"
                 " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
@@ -108,70 +119,83 @@ def _shingled(docs: DataFrame, distinct: bool = True) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard >= 0.8 near-duplicate pairs (oracle-backed).
 
-    Single-pass plan: the corpus is scanned ONCE — shingles group by
-    shingle key (one shuffle); per-doc shingle counts AND candidate
-    pairs both derive from that grouped frame, so nothing re-reads the
-    input.  (The naive counts/df-filter/self-join formulation scanned
-    and re-shingled the corpus six times — Catalyst does not reuse
-    uncached subtrees across different shuffle keys.)  Pairs come from
-    exploding C(k,2) combinations inside each <=shingle_df_cap posting
-    list — the standard inverted-index formulation.  The cap is sized
-    from the parquet footer row count (never a count() job at plan
-    build) so it stays RELATIVE to the corpus; see the
+    Streaming single-pass plan (round 7, guide §2.3/§2.4): the corpus is
+    scanned ONCE and each doc's distinct-shingle count ``n`` is computed
+    per row (``size(array_distinct(...))`` — a narrow projection, no
+    shuffle) and CARRIED through the shingle shuffle inside the posting
+    list as ``struct(doc_id, n)``.  Exploding C(k,2) combinations from
+    each <=shingle_df_cap posting list then yields (doc_a, na, doc_b,
+    nb) directly, so the pair aggregation needs NO per-doc-counts
+    aggregation and NO count joins afterwards.  vs the round-6 shape
+    this removes one aggregation exchange, two joins (and their
+    broadcast/shuffle exchanges) and the posting-list persist — the
+    whole query is 3 exchanges (shingle group, pair group, output sort)
+    and nothing is materialized.  Cost: 8 extra bytes per shuffled
+    shingle row, repaid many times over by the removed downstream work.
+    The cap is sized from the parquet footer row count (never a count()
+    job at plan build) so it stays RELATIVE to the corpus; see the
     MAX_SHINGLE_DF/SHINGLE_DF_FRAC note for the sf1-probe failure mode
     of an absolute cap.
     """
     from ..sources.stats import parquet_row_count
-    from .cachereg import persist_tracked
 
     df_cap = shingle_df_cap(parquet_row_count(sf_dir, "documents"))
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    # distinct=False + collect_set: per-(doc, shingle) dedup happens
-    # INSIDE the posting-list aggregation, so the corpus shuffles once
-    # (on shingle) instead of twice (distinct exchange + group exchange)
-    sh = _shingled(docs, distinct=False)
-    # persist the posting lists: counts and pairs both read them, and
-    # Catalyst does not reuse the exchange across the two aggregation
-    # keys.  (At warehouse scale this is a materialized intermediate
-    # table; MEMORY_AND_DISK gives the same single-computation shape.)
-    # Lifecycle: tracked — callers release via cachereg.release_caches()
-    grouped = persist_tracked(
-        sh.groupBy("shingle").agg(
-            F.sort_array(F.collect_set("doc_id")).alias("ds")
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+        ).alias("t"),
+    )
+    # per-(doc, shingle) dedup happens INSIDE the posting-list
+    # aggregation (collect_set of structs), so the corpus shuffles once
+    # (on shingle); ``n`` is a pure per-row function of the token array.
+    # explode_outer for the same reason as _shingled: the arrays are
+    # provably non-empty, and plain explode's inferred size/notnull
+    # filter re-expands the shingle transform (regex included) into a
+    # per-row scan-side Filter.
+    sh = (
+        toks.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, size(t)-3),"
+                " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+            ).alias("shs"),
+        )
+        .select(
+            "doc_id",
+            F.size(F.array_distinct("shs")).alias("n"),
+            F.explode_outer("shs").alias("shingle"),
         )
     )
-    counts = (
-        grouped.select(F.explode("ds").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    grouped = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_set(F.struct("doc_id", "n"))).alias("ds")
     )
+    # explode_outer again: every surviving posting list has >= 2 docs,
+    # hence >= 1 combination — and plain explode's inferred filter
+    # would evaluate the whole C(k,2) flatten a second time per list
     pairs = (
         grouped.filter(
             (F.size("ds") >= 2) & (F.size("ds") <= df_cap)
         )
         .select(
-            F.explode(
+            F.explode_outer(
                 F.expr(
                     "flatten(transform(ds, (x, i) ->"
                     " transform(slice(ds, i + 2, size(ds)),"
-                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                    " y -> struct(x.doc_id AS doc_a, x.n AS na,"
+                    " y.doc_id AS doc_b, y.n AS nb))))"
                 )
             ).alias("p")
         )
-        .select("p.doc_a", "p.doc_b")
+        .select("p.doc_a", "p.na", "p.doc_b", "p.nb")
     )
-    inter = pairs.groupBy("doc_a", "doc_b").agg(
-        F.count(F.lit(1)).alias("inter")
-    )
-    ca = counts.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")
-    )
-    cb = counts.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")
-    )
+    # na/nb are functionally dependent on doc_a/doc_b, so adding them to
+    # the grouping key changes nothing about the groups
     return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        pairs.groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
         .withColumn(
             "jaccard",
             F.round(
@@ -299,30 +323,47 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in ``functions/textstats.py``); ``test_oracle_fuzz`` and the
     unbiasedness property test now guard it.
     """
-    from .cachereg import persist_tracked
-
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     cands = minhash_lsh_candidates(spark, sf_dir)
-    # shingle sets are read by both sides of the verify join
-    sh = persist_tracked(_shingled(docs))
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("db2"), F.col("shingle").alias("sh_b"))
-    shared = (
-        cands.join(sa, "doc_a")
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("db2"))
-            & (F.col("shingle") == F.col("sh_b")),
+    # Verify via per-doc distinct-shingle ARRAYS (round 7, guide
+    # §2.3/§2.4): the shingle set of a doc is a pure per-row function of
+    # its token array, so it is built as a narrow projection (no explode,
+    # no shuffle, no persist) and joined to the candidate pairs by doc
+    # id.  ``size(array_intersect(sa, sb))`` over two distinct arrays is
+    # exactly the shared-shingle count the round-6 (doc, shingle)
+    # exploded join + groupBy computed — but with one row per doc
+    # instead of one per shingle, two fewer aggregations, and two fewer
+    # joins (the per-doc counts come free as ``size()``).
+    sets = (
+        docs.select(
+            "doc_id",
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+            ).alias("t"),
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(t)-3),"
+                    " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+                )
+            ).alias("shs"),
+        )
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb"))
     return (
-        shared.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).alias("inter"),
+            F.size("sa").alias("na"),
+            F.size("sb").alias("nb"),
+        )
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),

@@ -24,7 +24,18 @@ from pyspark.sql.window import Window
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read a table, fanning out under-split small inputs (round 7).
+
+    See ``sources.stats.adaptive_scan_partitions`` — the gate is
+    footer-stat-driven and a no-op at warehouse scale; it exists because
+    a table packed into fewer row groups than the session has cores
+    caps every downstream narrow stage at that row-group count (guide
+    §2.5, unsplittable input)."""
+    from ..sources.stats import adaptive_scan_partitions
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    par = adaptive_scan_partitions(spark, sf_dir, name)
+    return df.repartition(par) if par else df
 
 
 def _cents(col: F.Column) -> F.Column:

@@ -72,11 +72,17 @@ def _norm(a: F.Column) -> F.Column:
 
 
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 vs the query vector (vec_id=0), JVM-side."""
+    """Exact cosine top-10 vs the query vector (vec_id=0), JVM-side.
+
+    The query vector's norm is computed ONCE in the (1-row) broadcast
+    side instead of per scanned row (round 7, guide §1.2): same float64
+    product ``norm(e) * norm(q)``, so the rounded cosine is bit-identical
+    — but the per-row work drops from three array folds to two.
+    """
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qvec")
-    )
+    ).select("qvec", _norm(F.col("qvec")).alias("qnorm"))
     scored = (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
@@ -85,7 +91,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.round(
                 _dot(F.col("embedding"), F.col("qvec"))
-                / (_norm(F.col("embedding")) * _norm(F.col("qvec"))),
+                / (_norm(F.col("embedding")) * F.col("qnorm")),
                 6,
             ).alias("cosine"),
         )
@@ -108,20 +114,30 @@ def cosine_topk_oracle() -> str:
 
 
 def knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact nearest neighbor for vec_id < 20 (broadcast probe side)."""
+    """Exact nearest neighbor for vec_id < 20 (broadcast probe side).
+
+    Both norms are precomputed ONCE per vector instead of once per
+    (row x probe) pair (round 7, guide §1.2): the scan side's norm was
+    recomputed 20x per row and each probe's norm once per scanned row.
+    The float64 product ``enorm * pnorm`` is unchanged, so the rounded
+    cosine is bit-identical to the round-6 formulation.
+    """
     emb = load(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
-    )
+    ).select("probe_id", "pvec", _norm(F.col("pvec")).alias("pnorm"))
     scored = (
-        emb.crossJoin(F.broadcast(probes))
+        emb.select(
+            "vec_id", "embedding", _norm(F.col("embedding")).alias("enorm")
+        )
+        .crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             "vec_id",
             F.round(
                 _dot(F.col("embedding"), F.col("pvec"))
-                / (_norm(F.col("embedding")) * _norm(F.col("pvec"))),
+                / (F.col("enorm") * F.col("pnorm")),
                 6,
             ).alias("cosine"),
         )
@@ -165,16 +181,30 @@ def _exact_pair_scan(emb: DataFrame, threshold: float) -> DataFrame:
     """All-pairs exact cosine >= threshold over any (vec_id, embedding)
     frame — the O(n²) plan, shared by the oracle twin and the router's
     low-threshold fallback branch."""
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # norms precomputed once per VECTOR, not once per pair (round 7,
+    # guide §1.2): the float64 product ``na * nb`` is unchanged, so the
+    # rounded cosine is bit-identical to computing both norms in-pair —
+    # but each side's fold runs n times instead of n² times.
+    withn = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    a = withn.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = withn.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
             F.round(
-                _dot(F.col("ea"), F.col("eb"))
-                / (_norm(F.col("ea")) * _norm(F.col("eb"))),
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
                 6,
             ).alias("cosine"),
         )
@@ -417,8 +447,21 @@ def banded_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     (vec_id, embedding) frame — three linear stages (band keys,
     (band, key) self-join, rerank on candidates only)."""
     cand = lsh_candidate_pairs(emb, threshold)
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # norms precomputed once per vector before the joins (round 7,
+    # guide §1.2) — same float64 product, bit-identical rounded cosine
+    withn = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    ea = withn.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    eb = withn.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
@@ -426,8 +469,7 @@ def banded_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
             "vec_a",
             "vec_b",
             F.round(
-                _dot(F.col("ea"), F.col("eb"))
-                / (_norm(F.col("ea")) * _norm(F.col("eb"))),
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
                 6,
             ).alias("cosine"),
         )
@@ -616,9 +658,12 @@ def _rerank_topk(emb: DataFrame, cand: DataFrame) -> DataFrame:
     ``lsh_ann_topk_indexed`` — one definition, so tie-breaking,
     rounding, and TOPK can never drift between the in-session and
     indexed paths (their output-equality test certifies THIS)."""
+    # query norm computed once in the 1-row broadcast side, not per
+    # candidate row (round 7, guide §1.2) — same float64 product, so
+    # the rounded cosine (and hence the top-k set) is bit-identical
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qvec")
-    )
+    ).select("qvec", _norm(F.col("qvec")).alias("qnorm"))
     return (
         emb.join(cand, "vec_id", "left_semi")
         .filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -627,7 +672,7 @@ def _rerank_topk(emb: DataFrame, cand: DataFrame) -> DataFrame:
             "vec_id",
             F.round(
                 _dot(F.col("embedding"), F.col("qvec"))
-                / (_norm(F.col("embedding")) * _norm(F.col("qvec"))),
+                / (_norm(F.col("embedding")) * F.col("qnorm")),
                 6,
             ).alias("cosine"),
         )

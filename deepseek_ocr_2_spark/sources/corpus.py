@@ -281,6 +281,14 @@ def build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang"
     )
+    # under-split small inputs fan out so the generator kernel gets all
+    # cores (round 7, guide §2.5; no-op at scale — see
+    # sources.stats.adaptive_scan_partitions)
+    from .stats import adaptive_scan_partitions
+
+    par = adaptive_scan_partitions(spark, sf_dir, "documents")
+    if par:
+        docs = docs.repartition(par)
     return docs.mapInPandas(_build_rows, schema=CORPUS_SCHEMA)
 
 

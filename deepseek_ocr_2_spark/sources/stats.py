@@ -94,3 +94,54 @@ def parquet_total_bytes(sf_dir: str, name: str) -> int:
     fingerprint dimension (content edits at equal cardinality almost
     always move compressed sizes)."""
     return sum(os.path.getsize(fp) for fp in _parquet_files(sf_dir, name))
+
+
+def parquet_scan_stats(sf_dir: str, name: str) -> tuple:
+    """(total row groups, total file bytes, total rows) from footers.
+
+    The scan-parallelism inputs (round 7): a parquet ROW GROUP is the
+    minimum split unit — Spark assigns each row group to the byte-range
+    split holding its midpoint, so a table packed into one row group
+    yields a one-task scan no matter how many cores or how small
+    ``maxPartitionBytes`` is.  Footer-only, no Spark session."""
+    import pyarrow.parquet as pq
+
+    groups = bytes_ = rows = 0
+    for fp in _parquet_files(sf_dir, name):
+        meta = pq.ParquetFile(fp).metadata
+        groups += meta.num_row_groups
+        rows += meta.num_rows
+        bytes_ += os.path.getsize(fp)
+    return groups, bytes_, rows
+
+
+# Scan fan-out gate (round 7, guide §2.5 "unsplittable input"): fan a
+# scan out ONLY when footer statistics prove the table is (a) packed
+# into fewer row groups than the session has cores — row groups are the
+# minimum parquet split unit, so such a scan under-parallelizes no
+# matter the split config — AND (b) small enough that the round-robin
+# exchange is trivially cheap (bounded bytes) AND (c) big enough in
+# rows that downstream per-row work dominates task overhead.  At
+# warehouse scale any healthy table has hundreds of row groups per
+# executor and the gate is a no-op; tiny dimension tables
+# (nation/region/supplier) stay single-task and broadcast as before.
+FANOUT_MAX_BYTES = 256 << 20
+FANOUT_MIN_ROWS = 2000
+
+
+def adaptive_scan_partitions(spark, sf_dir: str, name: str):
+    """Target partition count for an under-split small table, or None
+    when the table should be read as-is (the no-op case at scale).
+    Footer-only — never a Spark job."""
+    try:
+        groups, nbytes, rows = parquet_scan_stats(sf_dir, name)
+    except Exception:
+        return None  # stat-less layouts read as-is
+    par = spark.sparkContext.defaultParallelism
+    if (
+        groups < par
+        and nbytes <= FANOUT_MAX_BYTES
+        and rows >= FANOUT_MIN_ROWS
+    ):
+        return par
+    return None
