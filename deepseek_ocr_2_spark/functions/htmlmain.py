@@ -261,10 +261,10 @@ def parse_blocks(html_text: str) -> List[Block]:
             if m is None:
                 bdata(html_text[pos:])
                 break
-            ms = m.start()
+            ms, me = m.span()  # one call for both bounds
             if ms > pos:
                 bdata(html_text[pos:ms])
-            pos = m.end()
+            pos = me
             # one group() call for all four captures (4 separate calls
             # per token were ~5% of kernel time)
             closing, tag, attr_text, selfclose = m.group(1, 2, 3, 4)

@@ -207,6 +207,14 @@ def _hash32(value: str) -> int:
 # into an exact-duplicate detector (it only looked correct on corpora
 # whose planted near-dups sat at J≈0.99).  Reducing x into Z_p first
 # makes a*x < 2^62 (exact in uint64) and guarantees heavy wrapping.
+# ADVICE r06 acknowledgment: reducing the 32-bit shingle hash mod p
+# deterministically FOLDS the universe — two shingles whose md5-32
+# values differ by exactly p collide under EVERY permutation (the
+# collision is in x itself).  That adds ~2^-31 per-pair collision mass
+# on top of the already-accepted 32-bit truncation rate; both are
+# orders of magnitude below the banded-LSH miss probability the design
+# budgets for, and the exact-Jaccard verify stage makes any such
+# collision a (vanishingly rare) extra candidate, never a wrong pair.
 _MINHASH_P = (1 << 31) - 1
 # empty-doc sentinel: one value >= p (unreachable — all real mins are
 # mod p), so empty docs never band-collide with real content

@@ -888,18 +888,30 @@ def lsh_ann_topk_indexed(
     # would silently weaken the check to rows+bytes) each get their own
     # explicit error, mirroring the fail-closed planted-id guard,
     # instead of the misleading generic "different snapshot" message.
-    if "fingerprint" not in meta:
+    # ADVICE r06: a fingerprint dict that simply LACKS the max_vec_id
+    # key is a stale sidecar format, not a statistics problem — fold it
+    # into the rebuild error rather than misattributing it
+    if "fingerprint" not in meta or "max_vec_id" not in meta["fingerprint"]:
         raise ValueError(
-            f"index at {index_dir} predates corpus fingerprinting "
-            f"(no 'fingerprint' key in its sidecar) — rebuild the index"
+            f"index at {index_dir} predates the current corpus "
+            f"fingerprint format (missing "
+            f"{'fingerprint sidecar' if 'fingerprint' not in meta else 'max_vec_id in its fingerprint'}"
+            f") — rebuild the index"
         )
-    if fp["max_vec_id"] is None or meta["fingerprint"].get("max_vec_id") is None:
+    if fp["max_vec_id"] is None or meta["fingerprint"]["max_vec_id"] is None:
+        # ADVICE r06: report BOTH sides' status so the message never
+        # blames the live table for a stat-less build-time corpus
+        sides = []
+        if fp["max_vec_id"] is None:
+            sides.append(f"the live embeddings table at {sf_dir}")
+        if meta["fingerprint"]["max_vec_id"] is None:
+            sides.append("the corpus the index was built from")
         raise ValueError(
-            f"cannot verify index identity: the embeddings table "
-            f"{'at ' + sf_dir if fp['max_vec_id'] is None else 'the index was built from'} "
-            f"carries no parquet footer statistics for vec_id — "
-            f"fingerprint comparison would silently degrade to "
-            f"rows+bytes; rebuild from a snapshot with statistics"
+            f"cannot verify index identity: {' and '.join(sides)} "
+            f"carr{'y' if len(sides) > 1 else 'ies'} no parquet footer "
+            f"statistics for vec_id — fingerprint comparison would "
+            f"silently degrade to rows+bytes; rebuild from a snapshot "
+            f"with statistics"
         )
     if meta["fingerprint"] != fp:
         raise ValueError(

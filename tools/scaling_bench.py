@@ -429,6 +429,17 @@ def _four_way_measure(corpus_path: str, levels: tuple) -> tuple[dict, dict, list
 def main() -> None:
     sys.path.insert(0, REPO)
     staging = tempfile.mkdtemp(prefix="scaling_corpus_")
+    # ADVICE r06: never rmtree the USER-SUPPLIED dir — two concurrent
+    # runs pointed at the same tmpfs path would delete each other's
+    # live shuffle files.  Instead each run claims a private mkdtemp
+    # UNDER the env-provided base and re-exports it to the children;
+    # cleanup then removes only what this run created.
+    run_ld = None
+    ld_base = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if ld_base:
+        os.makedirs(ld_base, exist_ok=True)
+        run_ld = tempfile.mkdtemp(prefix="scaling-shuffle-", dir=ld_base)
+        os.environ["SPARK_GRAFT_LOCAL_DIR"] = run_ld
     try:
         _run(staging)
     finally:
@@ -436,11 +447,10 @@ def main() -> None:
 
         shutil.rmtree(staging, ignore_errors=True)
         # same hygiene as bench.py (ADVICE r05): a tmpfs shuffle dir
-        # handed to the children via SPARK_GRAFT_LOCAL_DIR holds
-        # RAM-backed files until reboot if left behind
-        ld = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-        if ld and ld.startswith("/dev/shm/"):
-            shutil.rmtree(ld, ignore_errors=True)
+        # holds RAM-backed files until reboot if left behind — but only
+        # the per-run dir this process created is ever deleted
+        if run_ld:
+            shutil.rmtree(run_ld, ignore_errors=True)
 
 
 def _run(staging: str) -> None:
