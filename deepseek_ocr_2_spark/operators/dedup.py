@@ -6,8 +6,9 @@ job needs):
 
 * exact         — hash-groupBy (``textops.fingerprint_exact_dedup``)
 * n-gram Jaccard — exact shingle-overlap pairs, fully SQL-expressible
-                   (window LEAD shingling -> distinct -> self-join ->
-                   grouped counts), oracle-verified
+                   (per-row shingle arrays -> inverted-index groupBy ->
+                   C(k,2) pair explode with per-doc totals carried in
+                   the posting list), oracle-verified
 * MinHash + LSH — signature via Arrow-batched kernel, band keys exploded
                   JVM-side, candidate pairs from band-bucket self-join,
                   verified by exact Jaccard on the candidates only
@@ -304,8 +305,10 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard on tokens.
 
-    The verify join re-reads only candidate docs' token sets — at scale
-    this is the cheap step (candidates << pairs).
+    The verify stage joins per-doc distinct-shingle ARRAYS to the
+    candidate pairs by doc id and scores ``array_intersect`` — at scale
+    this is the cheap step (candidates << all pairs), and the arrays
+    are a narrow per-row projection, never a shuffled explode.
 
     Oracle-backed: the output is the exact-Jaccard pair set at
     >= JACCARD_THRESHOLD (the LSH stage only *generates candidates*;
