@@ -621,3 +621,71 @@ def test_relative_cap_keeps_engines_agreeing_and_finds_dups(
     assert len(spark_pairs) == 30
     assert all(j == 1.0 for _, _, j in spark_pairs)
     assert spark_pairs == oracle_pairs
+
+
+def test_dup_heavy_gate_ngram_equals_minhash_at_production_constants(
+    spark, tmp_path
+):
+    """Standing dup-heavy scale gate (VERDICT r06 next-steps #3), with
+    PRODUCTION constants — no monkeypatching: 6,000 docs put the
+    relative term in charge (cap = max(50, 60) = 60) at a CI-affordable
+    size.  A 56-copy exact-duplicate group (every shingle df = 56) sits
+    exactly in the (50, 60] band: the round-5 absolute
+    ``MAX_SHINGLE_DF=50`` behavior drops ALL of its posting lists and
+    ngram returns none of its C(56,2)=1,540 pairs, while MinHash still
+    finds them — so this test fails loudly if an absolute cap (or any
+    other scale cliff that splits the two independent algorithms) is
+    ever reintroduced.  Filler docs carry globally unique shingles
+    (singleton posting lists) so they only contribute corpus size."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_2_spark.operators.cachereg import release_caches
+    from deepseek_ocr_2_spark.sources.stats import parquet_row_count
+
+    base = pq.read_table(f"{SF_SMALL}/documents.parquet", columns=["doc_id", "text"])
+    doc_ids = base["doc_id"].to_pylist()
+    texts = base["text"].to_pylist()
+    src = dict(zip(doc_ids, texts))
+    COPY_SRC, N_COPIES, COPY_BASE = 3, 55, 1_000_000
+    rows = list(zip(doc_ids, texts))
+    rows += [(COPY_BASE + i, src[COPY_SRC]) for i in range(N_COPIES)]
+    n_fill = 6_000 - len(rows)
+    rows += [
+        (2_000_000 + i, f"fill{i}a fill{i}b fill{i}c fill{i}d fill{i}e")
+        for i in range(n_fill)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows], type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    assert parquet_row_count(str(tmp_path), "documents") == 6_000
+    assert dedup.shingle_df_cap(6_000) == 60  # relative term in charge
+
+    ng = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(spark, str(tmp_path)).collect()
+    }
+    mh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_lsh_dedup(spark, str(tmp_path)).collect()
+    }
+    release_caches()
+
+    # the two independent algorithms must agree exactly (pairs + scores)
+    assert ng == mh, (
+        f"ngram/minhash disagree: only-ngram={sorted(set(ng) - set(mh))[:5]} "
+        f"only-minhash={sorted(set(mh) - set(ng))[:5]}"
+    )
+    # and the copy group must actually be IN the result — the absolute
+    # 50-cap behavior silently drops every one of these from ngram
+    group = [COPY_SRC] + [COPY_BASE + i for i in range(N_COPIES)]
+    expected = {
+        (a, b) for i, a in enumerate(group) for b in group[i + 1 :]
+    }
+    missing = expected - set(ng)
+    assert not missing, f"copy-group pairs missing: {sorted(missing)[:5]}"
+    assert all(ng[p] == 1.0 for p in expected)
