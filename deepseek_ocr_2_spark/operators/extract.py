@@ -347,8 +347,21 @@ def extract_pages(
         shuffle_parts = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
+        # Partition count (guide §2.5): never collapse many buckets into
+        # a single task wave.  Hashing B buckets into exactly
+        # ``shuffle_parts`` partitions concentrates — measured at 1024
+        # buckets -> 32 partitions the largest partition carries 1.256x
+        # the mean, and in a one-wave schedule that excess IS the stage
+        # wall.  Keeping >= 8 buckets per partition instead yields
+        # multiple scheduling waves whose greedy makespan measured
+        # 1.022x ideal (same corpus).  The formula only kicks in when
+        # num_buckets > 8x the session parallelism — small jobs keep
+        # their single-wave layout (finer tasks measurably hurt at 5k
+        # docs, r03), and it is scale-adaptive: both inputs grow with
+        # the cluster, nothing is tuned to a core count.
         narrow = narrow.repartition(
-            min(cfg.num_buckets, shuffle_parts), "bucket"
+            min(cfg.num_buckets, max(shuffle_parts, cfg.num_buckets // 8)),
+            "bucket",
         )
     schema = (
         EXTRACT_SCHEMA_WITH_RAW if cfg.include_raw_output else EXTRACT_SCHEMA
