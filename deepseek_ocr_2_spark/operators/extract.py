@@ -351,16 +351,20 @@ def extract_pages(
         # a single task wave.  Hashing B buckets into exactly
         # ``shuffle_parts`` partitions concentrates — measured at 1024
         # buckets -> 32 partitions the largest partition carries 1.256x
-        # the mean, and in a one-wave schedule that excess IS the stage
-        # wall.  Keeping >= 8 buckets per partition instead yields
-        # multiple scheduling waves whose greedy makespan measured
-        # 1.022x ideal (same corpus).  The formula only kicks in when
-        # num_buckets > 8x the session parallelism — small jobs keep
-        # their single-wave layout (finer tasks measurably hurt at 5k
-        # docs, r03), and it is scale-adaptive: both inputs grow with
-        # the cluster, nothing is tuned to a core count.
+        # the mean payload bytes, and in a one-wave schedule that excess
+        # IS the stage wall.  Fanning out trades that against per-task
+        # overhead (~5-14 ms per mapInPandas task, measured with a
+        # trivial kernel): 2 waves recover most of the imbalance
+        # (greedy makespan 1.062x ideal vs 1.256x) for the fewest extra
+        # tasks, while 4+ waves (makespan 1.022x) spend their remaining
+        # gain on task overhead.  Hence >= 16 buckets per partition.
+        # The formula only kicks in when num_buckets > 16x the session
+        # parallelism — small jobs keep their single-wave layout (finer
+        # tasks measurably hurt at 5k docs, r03), and it is
+        # scale-adaptive: both inputs grow with the cluster, nothing is
+        # tuned to a core count.
         narrow = narrow.repartition(
-            min(cfg.num_buckets, max(shuffle_parts, cfg.num_buckets // 8)),
+            min(cfg.num_buckets, max(shuffle_parts, cfg.num_buckets // 16)),
             "bucket",
         )
     schema = (
