@@ -52,8 +52,6 @@ _BOILER_ATTR = re.compile(
     r"|advert|ads|banner|breadcrumb|cookie|promo|related|widget)(?:$|[\s_-])"
 )
 
-_WS = re.compile(r"\s+")
-
 MIN_CONTENT_CHARS = 25
 MAX_LINK_DENSITY = 0.35
 SHORT_RESCUE_CHARS = 8
@@ -81,7 +79,11 @@ class Block:
     @property
     def text(self) -> str:
         if self._text is None:
-            self._text = _WS.sub(" ", "".join(self.chars)).strip()
+            # split()/join normalizes exactly like the previous
+            # ``re.sub(r"\s+", " ", s).strip()`` (``\s`` and
+            # ``str.isspace()`` agree on every codepoint — verified
+            # exhaustively) at ~4x the speed
+            self._text = " ".join("".join(self.chars).split())
         return self._text
 
     @property
