@@ -99,12 +99,23 @@ class Block:
 # One-pass tokenizer: comments / CDATA / declarations / PIs skipped,
 # tags captured with (closing-slash, name, attrs, self-closing-slash).
 # Quoted attribute values may contain '>'.
+#
+# Branch order (round 7): the TAG branch leads — it is by far the most
+# common token, and the alternatives are mutually exclusive on the
+# character after '<' ('!' / '?' vs '/'|letter), so reordering cannot
+# change which branch matches at any position.  The attribute group is
+# the standard unrolled-loop form ``[^>"']*(?:(?:"..."|'...')[^>"']*)*``
+# — the same language as the per-char 3-way alternation it replaces,
+# with one linear run over unquoted attr text instead of an alternation
+# step per character.  Token streams (spans + groups) verified identical
+# over the sf corpus + adversarial + random tag-soup inputs.
 _TOKEN_RE = re.compile(
-    r"<!--.*?(?:-->|$)"
+    r"<(/?)([a-zA-Z][a-zA-Z0-9:_-]*)"
+    r"([^>\"']*(?:(?:\"[^\"]*\"|'[^']*')[^>\"']*)*)(/?)>"
+    r"|<!--.*?(?:-->|$)"
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"
     r"|<![^>]*>?"
-    r"|<\?[^>]*>?"
-    r"|<(/?)([a-zA-Z][a-zA-Z0-9:_-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>",
+    r"|<\?[^>]*>?",
     re.DOTALL,
 )
 
@@ -121,6 +132,21 @@ _MARK_ATTR_RE = re.compile(
 # to the matching close tag is data, even if it contains '<'.
 _RAWTEXT = ("script", "style", "textarea", "title")
 _RAWTEXT_CLOSE = {t: re.compile(f"</{t}", re.IGNORECASE) for t in _RAWTEXT}
+
+# Per-tag classification bitmask (round 7): ONE dict probe in the
+# tokenizer loop replaces up to three frozenset/tuple membership tests
+# per tag event (BLOCK_TAGS, SKIP_TAGS, the linear _RAWTEXT tuple scan)
+# — the sets above remain the source of truth and build the table.
+_F_BLOCK, _F_SKIP, _F_RAWTEXT, _F_LINK = 1, 2, 4, 8
+_TAG_FLAGS: Dict[str, int] = {}
+for _t in BLOCK_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_BLOCK
+for _t in SKIP_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_SKIP
+for _t in _RAWTEXT:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_RAWTEXT
+_TAG_FLAGS["a"] = _TAG_FLAGS.get("a", 0) | _F_LINK
+del _t
 
 
 @lru_cache(maxsize=4096)
@@ -174,6 +200,16 @@ def parse_blocks(html_text: str) -> List[Block]:
     follows the just-pushed open (nothing can intervene), and no
     rawtext tag is in BLOCK_TAGS, so only the skip/boiler depth bumps
     are observable while its body is consumed.
+
+    Second micro-pass (round 7b follow-up), all pinned by the same
+    differential gate (0 mismatches, sf corpus + adversarial + seeded
+    tag soup): tag classification is ONE ``_TAG_FLAGS`` probe (bitmask)
+    instead of three set/tuple membership tests; the ``islower()``
+    lowercase guard runs only on a flags-dict miss (every known-vocab
+    lowercase tag — the overwhelming case — skips it, and unknown tags
+    pay it exactly as before); and the well-formed end-tag fast path
+    pops first and re-pushes only on a mismatch (end tags are ~half of
+    all tag events, and real-world HTML closes the top of stack).
     """
     blocks: List[Block] = []
     cur = Block()
@@ -181,6 +217,7 @@ def parse_blocks(html_text: str) -> List[Block]:
     boiler_depth = 0
     link_depth = 0
     tag_stack: List[Tuple[str, bool, bool]] = []
+    flags_get = _TAG_FLAGS.get
     try:
         pos = 0
         n = len(html_text)
@@ -206,14 +243,22 @@ def parse_blocks(html_text: str) -> List[Block]:
                 closing, tag, attr_text, selfclose = m.groups()
                 if tag is None:
                     continue  # comment / CDATA / declaration / PI
-                if not tag.islower():  # real-world tags are already lower
-                    tag = tag.lower()
+                fl = flags_get(tag)
+                if fl is None:
+                    # dict miss: unknown tag, or known vocab in upper/
+                    # mixed case — only here does the lowercase guard run
+                    if not tag.islower():
+                        tag = tag.lower()
+                        fl = flags_get(tag, 0)
+                    else:
+                        fl = 0
                 if closing:
                     # ---- end(tag) ----
                     if tag_stack:
-                        t, s, b = tag_stack[-1]
-                        if t == tag:  # well-formed fast path: single pop
-                            stack_pop()
+                        # well-formed fast path: pop first, re-push on
+                        # mismatch (real-world HTML closes top-of-stack)
+                        t, s, b = stack_pop()
+                        if t == tag:
                             if s:
                                 skip_depth -= 1
                             if b:
@@ -221,6 +266,7 @@ def parse_blocks(html_text: str) -> List[Block]:
                             if t == "a":
                                 link_depth -= 1
                         else:
+                            stack_append((t, s, b))
                             match = -1
                             for i in range(len(tag_stack) - 2, -1, -1):
                                 if tag_stack[i][0] == tag:
@@ -237,7 +283,7 @@ def parse_blocks(html_text: str) -> List[Block]:
                                         boiler_depth -= 1
                                     if t == "a":
                                         link_depth -= 1
-                    if tag in BLOCK_TAGS:
+                    if fl & _F_BLOCK:
                         # ---- flush(next_tag="p") ----
                         if cur.chars:
                             if cur.text:
@@ -251,7 +297,7 @@ def parse_blocks(html_text: str) -> List[Block]:
                             cur.in_boiler = boiler_depth > 0
                 elif selfclose:
                     # ---- startend(tag) ----
-                    if tag in BLOCK_TAGS:
+                    if fl & _F_BLOCK:
                         if cur.chars:
                             if cur.text:
                                 blocks.append(cur)
@@ -259,21 +305,21 @@ def parse_blocks(html_text: str) -> List[Block]:
                         else:
                             cur.tag = tag
                             cur.in_boiler = boiler_depth > 0
-                elif tag not in _RAWTEXT:
+                elif not fl & _F_RAWTEXT:
                     # ---- start(tag, attrs) ----
-                    skip = tag in SKIP_TAGS
+                    skip = fl & _F_SKIP
                     # short-circuit the (lru-cached) attr classifier for
                     # attr-less tags — the common case — before paying
                     # the call + cache probe
                     boiler = bool(attr_text) and _is_boiler(attr_text)
-                    stack_append((tag, skip, boiler))
+                    stack_append((tag, bool(skip), boiler))
                     if skip:
                         skip_depth += 1
                     if boiler:
                         boiler_depth += 1
-                    if tag == "a":
+                    if fl & _F_LINK:
                         link_depth += 1
-                    if tag in BLOCK_TAGS:
+                    if fl & _F_BLOCK:
                         if cur.chars:
                             if cur.text:
                                 blocks.append(cur)
@@ -283,7 +329,7 @@ def parse_blocks(html_text: str) -> List[Block]:
                             cur.in_boiler = boiler_depth > 0
                 else:
                     # rawtext element: consume to the matching close tag
-                    skip = tag in SKIP_TAGS
+                    skip = bool(fl & _F_SKIP)
                     boiler = bool(attr_text) and _is_boiler(attr_text)
                     if skip:
                         skip_depth += 1
